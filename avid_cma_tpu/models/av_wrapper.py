@@ -1,0 +1,112 @@
+"""Audio-visual wrapper: two backbones + per-modality MLP projection heads.
+
+Capability reference: models/av_wrapper.py:17-76 (Head MLP with ReLU
+between layers; AV_Wrapper returning (video_emb, audio_emb); `av_wrapper`
+registry factory with proj_dim=[512,512,128]).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from avid_cma_tpu.registry import MODELS
+
+
+class Head(nn.Module):
+    """MLP projection head (reference: models/av_wrapper.py:17-33)."""
+
+    proj_dims: Sequence[int]
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dims = list(self.proj_dims)
+        for i, d in enumerate(dims):
+            x = nn.Dense(d, dtype=self.dtype, name=f"linear{i}")(x)
+            if i < len(dims) - 1:
+                x = nn.relu(x)
+        return x
+
+    @property
+    def out_dim(self) -> int:
+        return list(self.proj_dims)[-1]
+
+
+class AVWrapper(nn.Module):
+    """Joint AV model: video/audio backbones + projection heads
+    (reference: models/av_wrapper.py:36-61).
+
+    __call__(video, audio) -> (video_emb, audio_emb), each (B, proj_dim[-1]).
+    """
+
+    video_model: nn.Module
+    audio_model: nn.Module
+    proj_dim: Any = 128  # int | list[int] | None
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        if self.proj_dim is not None:
+            dims = (
+                list(self.proj_dim)
+                if isinstance(self.proj_dim, (list, tuple))
+                else [self.proj_dim]
+            )
+            self.video_proj = Head(dims, dtype=self.dtype)
+            self.audio_proj = Head(dims, dtype=self.dtype)
+            self.out_dim = dims[-1]
+        else:
+            self.out_dim = self.video_model.out_dim
+
+    def __call__(
+        self,
+        video: jnp.ndarray,
+        audio: jnp.ndarray,
+        train: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        video_emb = self.video_model(video, train=train)
+        audio_emb = self.audio_model(audio, train=train)
+        if self.proj_dim is not None:
+            video_emb = self.video_proj(video_emb)
+            audio_emb = self.audio_proj(audio_emb)
+        return video_emb, audio_emb
+
+    def embeddings(
+        self, video: jnp.ndarray, audio: jnp.ndarray, train: bool = False
+    ) -> Dict[str, Dict[str, jnp.ndarray]]:
+        """Intermediate taps for both modalities (eval probes)."""
+        return {
+            "video": self.video_model(video, train=train, return_embs=True),
+            "audio": self.audio_model(audio, train=train, return_embs=True),
+        }
+
+
+@MODELS.register("av_wrapper")
+def av_wrapper(
+    video_backbone: str,
+    video_backbone_args: dict | None = None,
+    audio_backbone: str = "Conv2D",
+    audio_backbone_args: dict | None = None,
+    proj_dim: Any = 128,
+    checkpoint: str | None = None,
+    dtype: jnp.dtype | None = None,
+) -> AVWrapper:
+    """Factory resolving backbones by registry name
+    (reference: models/av_wrapper.py:64-76). `checkpoint` (a .pth.tar or
+    orbax path) is handled by the caller via train.checkpoint utilities;
+    it is accepted here for config compatibility.
+    """
+    video_model = MODELS.get(video_backbone)(
+        **dict(video_backbone_args or {}), dtype=dtype
+    )
+    audio_model = MODELS.get(audio_backbone)(
+        **dict(audio_backbone_args or {}), dtype=dtype
+    )
+    return AVWrapper(
+        video_model=video_model,
+        audio_model=audio_model,
+        proj_dim=proj_dim,
+        dtype=dtype,
+    )
