@@ -1,0 +1,197 @@
+"""AVID criterion: cross/within-modal NCE against dual memory banks.
+
+Capability reference: criterions/avid.py:20-236.
+  * dual banks view1_mem (video) / view2_mem (audio), randn-init, L2-normed,
+    identical across replicas (avid.py:88-101)
+  * temperature 0.07 (avid.py:32)
+  * per-head scores: query emb vs own-instance bank row (positive) and K
+    uniformly drawn bank rows with self-avoid shift (negatives) (avid.py:47-86)
+  * EMA bank update from the *globally all-gathered* batch embeddings,
+    then renorm (avid.py:103-129)
+  * loss = xModal_coeff * (v2a + a2v)/2 + wModal_coeff * (v2v + a2a)/2,
+    coefficients normalized to sum 1 (avid.py:216-233)
+
+TPU-first redesign: the bank is explicit train state; the whole criterion
+is a pure function `(state, embeddings, indices, rng) -> (loss, logs, state')`
+that lives inside the single jitted train step. Under SPMD (shard_map over
+the `data` mesh axis) the bank update consumes `all_gather`ed embeddings so
+every replica applies the identical transition — banks stay replica-wise
+equal without broadcasts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from avid_cma_tpu.criterions.nce import nce_loss, resolve_partition
+from avid_cma_tpu.ops.sampling import draw_negatives_uniform
+
+TEMPERATURE = 0.07  # reference: criterions/avid.py:32
+
+
+class BankState(struct.PyTreeNode):
+    """Memory-bank state carried in the train state.
+
+    view1_mem: (N, D) video bank; view2_mem: (N, D) audio bank;
+    z: frozen NCE partition function (scalar, -1 = not yet estimated).
+    """
+
+    view1_mem: jnp.ndarray
+    view2_mem: jnp.ndarray
+    z: jnp.ndarray
+
+    @property
+    def memory_size(self) -> int:
+        return self.view1_mem.shape[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class AVIDConfig:
+    num_data: int
+    embedding_dim: int = 128
+    num_negatives: int = 1024
+    momentum: Tuple[float, float] = (0.5, 0.5)
+    xModal_coeff: float = 1.0
+    wModal_coeff: float = 0.0
+    temperature: float = TEMPERATURE
+
+    def __post_init__(self):
+        if not isinstance(self.momentum, (tuple, list)):
+            object.__setattr__(self, "momentum", (self.momentum, self.momentum))
+        else:
+            object.__setattr__(self, "momentum", tuple(self.momentum))
+
+    @property
+    def coeffs(self) -> Tuple[float, float]:
+        s = self.xModal_coeff + self.wModal_coeff
+        return self.xModal_coeff / s, self.wModal_coeff / s
+
+
+def init_bank_state(
+    key: jax.Array, num_data: int, embedding_dim: int, dtype=jnp.float32
+) -> BankState:
+    """randn banks, L2-normalized (reference: criterions/avid.py:88-101).
+    Deterministic in `key`, so identical on every replica by construction
+    (the reference needs a broadcast; SPMD does not)."""
+    k1, k2 = jax.random.split(key)
+    v1 = jax.random.normal(k1, (num_data, embedding_dim), dtype)
+    v2 = jax.random.normal(k2, (num_data, embedding_dim), dtype)
+    v1 = v1 / jnp.linalg.norm(v1, axis=1, keepdims=True)
+    v2 = v2 / jnp.linalg.norm(v2, axis=1, keepdims=True)
+    return BankState(view1_mem=v1, view2_mem=v2, z=jnp.float32(-1.0))
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+def _scores(
+    query: jnp.ndarray,
+    pos_rows: jnp.ndarray,
+    neg_rows: jnp.ndarray,
+    temperature: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scores of a (bs, D) query against (bs, P, D) positives and
+    (bs, K, D) negatives (reference bmm: criterions/avid.py:65-66)."""
+    pos = jnp.einsum("bd,bpd->bp", query, pos_rows) / temperature
+    neg = jnp.einsum("bd,bkd->bk", query, neg_rows) / temperature
+    return pos, neg
+
+
+def update_banks(
+    state: BankState,
+    video_emb: jnp.ndarray,
+    audio_emb: jnp.ndarray,
+    y: jnp.ndarray,
+    momentum: Tuple[float, float],
+    axis_name: Optional[str] = None,
+) -> BankState:
+    """EMA + renorm bank update from globally gathered embeddings
+    (reference: criterions/avid.py:103-129). Duplicate indices within the
+    gathered batch resolve by last-write-wins, like torch index_copy_."""
+    if axis_name is not None:
+        video_emb = jax.lax.all_gather(video_emb, axis_name, tiled=True)
+        audio_emb = jax.lax.all_gather(audio_emb, axis_name, tiled=True)
+        y = jax.lax.all_gather(y, axis_name, tiled=True)
+    video_emb = jax.lax.stop_gradient(video_emb)
+    audio_emb = jax.lax.stop_gradient(audio_emb)
+
+    def ema(mem, emb, mom):
+        old = mem[y]
+        new = l2_normalize(old * mom + emb * (1.0 - mom))
+        return mem.at[y].set(new, mode="drop", unique_indices=False)
+
+    return state.replace(
+        view1_mem=ema(state.view1_mem, video_emb, momentum[0]),
+        view2_mem=ema(state.view2_mem, audio_emb, momentum[1]),
+    )
+
+
+def avid_forward(
+    state: BankState,
+    video_emb: jnp.ndarray,
+    audio_emb: jnp.ndarray,
+    y: jnp.ndarray,
+    key: jax.Array,
+    cfg: AVIDConfig,
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], BankState]:
+    """One criterion step (reference: criterions/avid.py:47-80,202-233).
+
+    Returns (total_loss, tb_log, new_state). Differentiable in the
+    embeddings; the bank and Z are constants within the step.
+    """
+    xmodal, wmodal = cfg.xModal_coeff > 0, cfg.wModal_coeff > 0
+    video_emb = l2_normalize(video_emb)
+    audio_emb = l2_normalize(audio_emb)
+
+    bank_v = jax.lax.stop_gradient(state.view1_mem)
+    bank_a = jax.lax.stop_gradient(state.view2_mem)
+
+    pos_v = bank_v[y][:, None, :]  # (bs, 1, D)
+    pos_a = bank_a[y][:, None, :]
+    neg_idx = draw_negatives_uniform(key, y, cfg.num_negatives, cfg.num_data)
+    neg_v = bank_v[neg_idx]  # (bs, K, D)
+    neg_a = bank_a[neg_idx]
+
+    scores: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+    if xmodal:
+        scores["v2a"] = _scores(video_emb, pos_a, neg_a, cfg.temperature)
+        scores["a2v"] = _scores(audio_emb, pos_v, neg_v, cfg.temperature)
+    if wmodal:
+        scores["v2v"] = _scores(video_emb, pos_v, neg_v, cfg.temperature)
+        scores["a2a"] = _scores(audio_emb, pos_a, neg_a, cfg.temperature)
+
+    # Z freezes from the first head's negatives on the first step, in the
+    # reference's head-insertion order (shared NCECriterion instance,
+    # criterions/nce.py:21-24 + avid.py:68-76).
+    first_head = "v2a" if xmodal else "v2v"
+    z = resolve_partition(
+        state.z, jnp.exp(scores[first_head][1]), axis_name=axis_name
+    )
+
+    tb_log: Dict[str, jnp.ndarray] = {}
+    xmodal_loss = jnp.float32(0.0)
+    wmodal_loss = jnp.float32(0.0)
+    for head, (s_pos, s_neg) in scores.items():
+        loss = nce_loss(s_pos, s_neg, z)
+        if head in ("v2a", "a2v"):
+            xmodal_loss = xmodal_loss + loss / 2.0
+        else:
+            wmodal_loss = wmodal_loss + loss / 2.0
+        tb_log[f"Loss/{head}"] = loss
+    tb_log["Loss/xModal"] = xmodal_loss
+    tb_log["Loss/wModal"] = wmodal_loss
+
+    xc, wc = cfg.coeffs
+    total = xmodal_loss * xc + wmodal_loss * wc
+
+    new_state = update_banks(
+        state.replace(z=z), video_emb, audio_emb, y, cfg.momentum, axis_name
+    )
+    return total, tb_log, new_state

@@ -1,0 +1,133 @@
+"""CMA positive-set mining: blocked agreement top-k sweep over the banks.
+
+Capability reference: criterions/avid_cma.py:24-123 (CMASampler). The
+reference fans 16-query jobs out to one CUDA worker process per GPU
+through mp.Queues, computes `mm(bank, bank[q].T)` per modality, takes a
+min/max agreement, top-(k+1), drops self, sorts.
+
+TPU-first redesign: no processes, no queues — one jitted SPMD sweep.
+Queries (== bank rows) are sharded over the mesh `data` axis; each device
+scans its local queries in MXU-sized tiles against the (replicated) banks:
+
+    sim_v = bank_v @ q_v.T       (N, Q)  — one big matmul per modality
+    agree = min/max(sim_v, sim_a)        — fused elementwise
+    top_k over N with the self column masked to -inf (exact self removal,
+    instead of the reference's drop-the-top-1 heuristic which can drop a
+    non-self tie), then indices sorted ascending (negative rank-shift
+    sampling requires sorted positive lists, avid_cma.py:70).
+
+Wall-clock is O(N^2 D / devices) of pure MXU work; tile size trades VMEM/HBM
+footprint for matmul size.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AGREEMENT_TYPES = ("consensus", "union", "video", "audio")
+
+
+def _agreement(sim_v: jnp.ndarray, sim_a: jnp.ndarray, kind: str) -> jnp.ndarray:
+    # reference: criterions/avid_cma.py:56-65
+    if kind == "consensus":
+        return jnp.minimum(sim_v, sim_a)
+    if kind == "union":
+        return jnp.maximum(sim_v, sim_a)
+    if kind == "video":
+        return sim_v
+    if kind == "audio":
+        return sim_a
+    raise ValueError(f"unknown agreement type {kind!r}; one of {AGREEMENT_TYPES}")
+
+
+def _sweep_tiles(
+    bank_v: jnp.ndarray,
+    bank_a: jnp.ndarray,
+    q_v: jnp.ndarray,
+    q_a: jnp.ndarray,
+    q_index: jnp.ndarray,
+    pos_k: int,
+    kind: str,
+    tile: int,
+) -> jnp.ndarray:
+    """Top-k agreement indices for local queries (num_q, D) against full
+    banks (N, D). Returns (num_q, pos_k) int32, rows sorted ascending."""
+    num_q = q_v.shape[0]
+    n_tiles = -(-num_q // tile)
+    pad = n_tiles * tile - num_q
+    q_v = jnp.pad(q_v, ((0, pad), (0, 0)))
+    q_a = jnp.pad(q_a, ((0, pad), (0, 0)))
+    # padded queries get self-index -1: masks nothing, results discarded
+    q_index = jnp.pad(q_index, (0, pad), constant_values=-1)
+
+    q_v = q_v.reshape(n_tiles, tile, -1)
+    q_a = q_a.reshape(n_tiles, tile, -1)
+    q_index = q_index.reshape(n_tiles, tile)
+
+    def one_tile(carry, inp):
+        qv, qa, qi = inp
+        # HIGHEST precision: near-ties in the agreement decide set membership,
+        # and the reference computes exact-f32 similarities (avid_cma.py:52-53).
+        sim_v = jnp.dot(
+            qv, bank_v.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        sim_a = jnp.dot(
+            qa, bank_a.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        agree = _agreement(sim_v, sim_a, kind)  # (tile, N)
+        col = jax.lax.broadcasted_iota(jnp.int32, agree.shape, 1)
+        agree = jnp.where(col == qi[:, None], -jnp.inf, agree)
+        _, idx = jax.lax.top_k(agree, pos_k)
+        return carry, jnp.sort(idx, axis=1).astype(jnp.int32)
+
+    _, out = jax.lax.scan(one_tile, None, (q_v, q_a, q_index))
+    return out.reshape(n_tiles * tile, pos_k)[:num_q]
+
+
+@partial(jax.jit, static_argnames=("pos_k", "kind", "tile", "axis_name"))
+def _mine_local(bank_v, bank_a, pos_k, kind, tile, axis_name=None):
+    n = bank_v.shape[0]
+    q_index = jnp.arange(n, dtype=jnp.int32)
+    return _sweep_tiles(bank_v, bank_a, bank_v, bank_a, q_index, pos_k, kind, tile)
+
+
+def mine_positives(
+    bank_v: jnp.ndarray,
+    bank_a: jnp.ndarray,
+    pos_k: int,
+    kind: str = "consensus",
+    tile: int = 256,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+) -> jnp.ndarray:
+    """Mine the (N, pos_k) positive set. With a mesh, queries are sharded
+    over `axis` (each device sweeps N/devices queries against the full
+    banks); without one, a single-device blocked sweep."""
+    if mesh is None or mesh.size == 1:
+        return _mine_local(bank_v, bank_a, pos_k, kind, tile)
+
+    n, d = bank_v.shape
+    n_dev = mesh.shape[axis]
+    pad = (-n) % n_dev
+    q_index = jnp.arange(n, dtype=jnp.int32)
+    q_v = jnp.pad(bank_v, ((0, pad), (0, 0)))
+    q_a = jnp.pad(bank_a, ((0, pad), (0, 0)))
+    q_index = jnp.pad(q_index, (0, pad), constant_values=-1)
+
+    sweep = partial(_sweep_tiles, pos_k=pos_k, kind=kind, tile=tile)
+    mined = jax.jit(
+        jax.shard_map(
+            lambda bv, ba, qv, qa, qi: sweep(bv, ba, qv, qa, qi[0]),
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(None, axis)),
+            out_specs=P(axis),
+        )
+    )(bank_v, bank_a, q_v, q_a, q_index[None])
+    return mined[:n]
