@@ -1,0 +1,141 @@
+"""The single jitted SPMD train step.
+
+Capability reference: the per-batch hot loop main-avid.py:155-192
+(forward -> criterion -> backward -> optimizer -> meters) plus the DDP
+gradient all-reduce and the criterion's internal all_gather.
+
+TPU-first redesign: ONE `jax.jit`(shard_map) program per step fusing
+  model fwd -> NCE scoring vs bank -> loss -> grads (psum) ->
+  optimizer update -> bank EMA transition -> BN-stat sync
+with the train state donated, so banks/params update in-place in HBM.
+BatchNorm uses the *local* shard statistics for normalization (DDP parity:
+the reference never syncs BN) while running stats are pmean'd so the
+carried state stays replica-identical.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from avid_cma_tpu.criterions.avid import AVIDConfig, avid_forward, init_bank_state
+from avid_cma_tpu.criterions.avid_cma import AVIDCMAConfig, cma_forward
+from avid_cma_tpu.parallel.mesh import DATA_AXIS
+from avid_cma_tpu.train.state import TrainState
+
+Batch = Dict[str, jnp.ndarray]  # frames (B,T,H,W,C), audio (B,T,F,1), index (B,)
+CriterionConfig = Union[AVIDConfig, AVIDCMAConfig]
+
+
+def criterion_fn(cfg: CriterionConfig) -> Callable:
+    if isinstance(cfg, AVIDCMAConfig):
+        return cma_forward
+    if isinstance(cfg, AVIDConfig):
+        return avid_forward
+    raise TypeError(f"unknown criterion config {type(cfg)}")
+
+
+def init_train_state(
+    key: jax.Array,
+    model,
+    sample_batch: Batch,
+    optimizer: optax.GradientTransformation,
+    criterion_cfg: Optional[CriterionConfig] = None,
+    bank=None,
+) -> TrainState:
+    k_model, k_bank, k_rng = jax.random.split(key, 3)
+    variables = model.init(
+        k_model, sample_batch["frames"], sample_batch["audio"], train=False
+    )
+    if bank is None and criterion_cfg is not None:
+        bank = init_bank_state(
+            k_bank, criterion_cfg.num_data, criterion_cfg.embedding_dim
+        )
+    params = variables["params"]
+    return TrainState(
+        step=jnp.int32(0),
+        epoch=jnp.int32(0),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(params),
+        bank=bank,
+        rng=k_rng,
+    )
+
+
+def make_train_step(
+    model,
+    criterion_cfg: CriterionConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    donate: bool = True,
+) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jitted train step for a data-sharded batch on `mesh`."""
+    criterion = criterion_fn(criterion_cfg)
+
+    def local_step(state: TrainState, video, audio, y):
+        # per-replica negative draws, like per-process torch RNG
+        key = jax.random.fold_in(state.next_rng(), jax.lax.axis_index(axis))
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (v_emb, a_emb), mut = model.apply(
+                variables, video, audio, train=True, mutable=["batch_stats"]
+            )
+            loss, tb, new_bank = criterion(
+                state.bank, v_emb, a_emb, y, key, criterion_cfg, axis_name=axis
+            )
+            return loss, (tb, new_bank, mut["batch_stats"])
+
+        (loss, (tb, new_bank, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        grads = jax.lax.pmean(grads, axis)
+        metrics = jax.lax.pmean({**tb, "loss": loss}, axis)
+        new_stats = jax.lax.pmean(new_stats, axis)
+
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            bank=new_bank,
+        )
+        return new_state, metrics
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,  # bank update provably replicated (all_gathered inputs)
+    )
+
+    def step_fn(state: TrainState, batch: Batch):
+        return sharded(state, batch["frames"], batch["audio"], batch["index"])
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_embed_fn(model, mesh: Mesh, axis: str = DATA_AXIS) -> Callable:
+    """Jitted inference embeddings (no state mutation), data-sharded."""
+
+    def local(params, batch_stats, video, audio):
+        variables = {"params": params, "batch_stats": batch_stats}
+        return model.apply(variables, video, audio, train=False)
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )
+    return jax.jit(sharded)
