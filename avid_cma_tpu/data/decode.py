@@ -1,0 +1,256 @@
+"""A/V decode backends feeding the host->device input pipeline.
+
+Capability reference: utils/ioutils/av_wrappers.py (PyAV decode):
+  * av_load_video (17-54): seek, decode frames in [start, start+duration)
+    at `fps`, duplicating frames when target fps > source fps
+  * av_laod_audio (57-113, typo'd in the de-facto API): resample to s16
+    mono at `audio_fps`, trim/pad to duration, int16 -> [-1, 1] float
+
+Decode cannot run on TPU; this stays a host-side layer with pluggable
+backends (PyAV / ffmpeg CLI when present, synthetic always). The
+synthetic backend generates deterministic per-clip content so tests and
+benchmarks exercise the full pipeline without media files or codecs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import shutil
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class VideoMeta:
+    duration: float  # seconds
+    video_fps: float
+    audio_fps: int
+    width: int = 0
+    height: int = 0
+
+
+class DecodeBackend:
+    """Interface: open/metadata + ranged frame/audio decode."""
+
+    def get_meta(self, path: str) -> VideoMeta:
+        raise NotImplementedError
+
+    def load_video(
+        self, path: str, start: float, duration: float, fps: float
+    ) -> np.ndarray:
+        """-> uint8 (T, H, W, 3) with T = ceil(duration * fps)."""
+        raise NotImplementedError
+
+    def load_audio(
+        self, path: str, start: float, duration: float, sample_rate: int
+    ) -> np.ndarray:
+        """-> float32 (L,) mono in [-1, 1], L = duration * sample_rate,
+        zero-padded when the stream runs short (av_wrappers.py:99-111)."""
+        raise NotImplementedError
+
+
+class SyntheticBackend(DecodeBackend):
+    """Deterministic synthetic clips: content is a pure function of
+    (path, start). Moving gradient frames + per-clip mixture-of-sines
+    audio, so temporal sampling/augmentation/spectrograms see non-trivial
+    structure."""
+
+    def __init__(
+        self,
+        duration: float = 10.0,
+        video_fps: float = 16.0,
+        audio_fps: int = 24000,
+        height: int = 256,
+        width: int = 320,
+    ):
+        self.meta = VideoMeta(duration, video_fps, audio_fps, width, height)
+
+    def _seed(self, path: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2s(path.encode(), digest_size=4).digest(), "little"
+        )
+
+    def get_meta(self, path: str) -> VideoMeta:
+        return self.meta
+
+    def load_video(self, path, start, duration, fps) -> np.ndarray:
+        n = int(np.ceil(duration * fps))
+        h, w = self.meta.height, self.meta.width
+        rng = np.random.default_rng(self._seed(path))
+        phase = rng.uniform(0, 2 * np.pi, size=3)
+        speed = rng.uniform(0.5, 2.0, size=3)
+        t = start + np.arange(n) / fps
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        frames = np.empty((n, h, w, 3), np.uint8)
+        for i, ti in enumerate(t):
+            for c in range(3):
+                val = 0.5 + 0.5 * np.sin(
+                    2 * np.pi * (xx / w + yy / h) + phase[c] + speed[c] * ti
+                )
+                frames[i, :, :, c] = (val * 255).astype(np.uint8)
+        return frames
+
+    def load_audio(self, path, start, duration, sample_rate) -> np.ndarray:
+        n = int(duration * sample_rate)
+        rng = np.random.default_rng(self._seed(path) ^ 0xA5A5)
+        freqs = rng.uniform(80, 4000, size=4)
+        amps = rng.uniform(0.1, 0.3, size=4)
+        t = start + np.arange(n) / sample_rate
+        sig = sum(a * np.sin(2 * np.pi * f * t) for a, f in zip(amps, freqs))
+        return sig.astype(np.float32)
+
+
+class PyAVBackend(DecodeBackend):
+    """PyAV/FFmpeg decode (semantics of av_wrappers.py:17-113)."""
+
+    def __init__(self):
+        import av  # noqa: F401  (raises if unavailable)
+
+        self._av = av
+
+    def get_meta(self, path: str) -> VideoMeta:
+        with self._av.open(path) as c:
+            v = c.streams.video[0]
+            a = c.streams.audio[0] if c.streams.audio else None
+            return VideoMeta(
+                duration=float(v.duration * v.time_base) if v.duration else 0.0,
+                video_fps=float(v.average_rate),
+                audio_fps=int(a.rate) if a else 0,
+                width=v.width,
+                height=v.height,
+            )
+
+    def load_video(self, path, start, duration, fps) -> np.ndarray:
+        av = self._av
+        n_target = int(np.ceil(duration * fps))
+        with av.open(path) as container:
+            stream = container.streams.video[0]
+            container.seek(int(start / stream.time_base), stream=stream)
+            frames, times = [], []
+            end = start + duration
+            for frame in container.decode(video=0):
+                t = float(frame.pts * stream.time_base)
+                if t < start - 1.0 / fps:
+                    continue
+                if t >= end:
+                    break
+                frames.append(frame.to_ndarray(format="rgb24"))
+                times.append(t)
+        if not frames:
+            raise RuntimeError(f"no frames decoded from {path} @ {start}")
+        # resample decoded timestamps onto the target fps grid (duplicating
+        # frames when fps exceeds the source rate, av_wrappers.py:31-53)
+        times = np.asarray(times)
+        want = start + np.arange(n_target) / fps
+        idx = np.clip(np.searchsorted(times, want, side="right") - 1, 0, len(frames) - 1)
+        return np.stack([frames[i] for i in idx])
+
+    def load_audio(self, path, start, duration, sample_rate) -> np.ndarray:
+        av = self._av
+        n_target = int(duration * sample_rate)
+        with av.open(path) as container:
+            stream = container.streams.audio[0]
+            resampler = av.AudioResampler(format="s16", layout="mono", rate=sample_rate)
+            container.seek(int(start / stream.time_base), stream=stream)
+            chunks = []
+            total = 0
+            for frame in container.decode(audio=0):
+                out = resampler.resample(frame)
+                out = out if isinstance(out, list) else [out]
+                for o in out:
+                    arr = o.to_ndarray().reshape(-1)
+                    chunks.append(arr)
+                    total += arr.size
+                if total >= n_target * 2:
+                    break
+        sig = (
+            np.concatenate(chunks) if chunks else np.zeros(n_target, np.int16)
+        ).astype(np.float32) / 32768.0
+        if sig.size > n_target:
+            sig = sig[:n_target]
+        elif sig.size < n_target:
+            sig = np.pad(sig, (0, n_target - sig.size))
+        return sig
+
+
+class FFmpegCLIBackend(DecodeBackend):
+    """ffmpeg-binary decode for hosts without PyAV."""
+
+    def __init__(self):
+        if shutil.which("ffmpeg") is None or shutil.which("ffprobe") is None:
+            raise RuntimeError("ffmpeg/ffprobe not on PATH")
+
+    def get_meta(self, path: str) -> VideoMeta:
+        import json
+
+        out = subprocess.run(
+            ["ffprobe", "-v", "error", "-print_format", "json",
+             "-show_streams", "-show_format", path],
+            capture_output=True, check=True,
+        )
+        info = json.loads(out.stdout)
+        v = next(s for s in info["streams"] if s["codec_type"] == "video")
+        a = next((s for s in info["streams"] if s["codec_type"] == "audio"), None)
+        num, den = v["avg_frame_rate"].split("/")
+        return VideoMeta(
+            duration=float(info["format"]["duration"]),
+            video_fps=float(num) / float(den),
+            audio_fps=int(a["sample_rate"]) if a else 0,
+            width=int(v["width"]),
+            height=int(v["height"]),
+        )
+
+    def load_video(self, path, start, duration, fps) -> np.ndarray:
+        meta = self.get_meta(path)
+        n = int(np.ceil(duration * fps))
+        cmd = [
+            "ffmpeg", "-v", "error", "-ss", str(start), "-t", str(duration),
+            "-i", path, "-vf", f"fps={fps}", "-pix_fmt", "rgb24",
+            "-f", "rawvideo", "-",
+        ]
+        raw = subprocess.run(cmd, capture_output=True, check=True).stdout
+        frame_bytes = meta.width * meta.height * 3
+        got = len(raw) // frame_bytes
+        frames = np.frombuffer(raw[: got * frame_bytes], np.uint8).reshape(
+            got, meta.height, meta.width, 3
+        )
+        if got == 0:
+            raise RuntimeError(f"no frames decoded from {path}")
+        if got < n:  # pad by repeating the last frame
+            frames = np.concatenate([frames, np.repeat(frames[-1:], n - got, 0)])
+        return frames[:n]
+
+    def load_audio(self, path, start, duration, sample_rate) -> np.ndarray:
+        n = int(duration * sample_rate)
+        cmd = [
+            "ffmpeg", "-v", "error", "-ss", str(start), "-t", str(duration),
+            "-i", path, "-ac", "1", "-ar", str(sample_rate),
+            "-f", "s16le", "-",
+        ]
+        raw = subprocess.run(cmd, capture_output=True, check=True).stdout
+        sig = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+        if sig.size > n:
+            sig = sig[:n]
+        elif sig.size < n:
+            sig = np.pad(sig, (0, n - sig.size))
+        return sig
+
+
+def make_backend(name: str = "auto", **kwargs) -> DecodeBackend:
+    if name == "synthetic":
+        return SyntheticBackend(**kwargs)
+    if name == "pyav":
+        return PyAVBackend()
+    if name == "ffmpeg":
+        return FFmpegCLIBackend()
+    if name == "auto":
+        for cls in (PyAVBackend, FFmpegCLIBackend):
+            try:
+                return cls()
+            except Exception:
+                continue
+        return SyntheticBackend(**kwargs)
+    raise ValueError(f"unknown decode backend '{name}'")

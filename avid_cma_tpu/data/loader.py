@@ -1,0 +1,158 @@
+"""Host data loader: sharded sampling, threaded prefetch, batching.
+
+Capability reference: torch DataLoader + DistributedSampler usage
+(utils/main_utils.py:214-228): per-process shard of a globally shuffled
+index sequence, drop_last, worker pool, epoch-seeded shuffling.
+
+TPU-first: one process per host feeding all local devices — the loader
+yields numpy batches of RAW decode output (uint8 frames + waveforms);
+device-side jitted preprocessing (see pipelines.py) replaces the
+reference's 36-72 CPU worker processes doing PIL/librosa work
+(main config num_workers; SURVEY §3 hot loop #2). A native C++ prefetch
+ring (avid_cma_tpu/native) can be slotted in as the executor.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class ShardedBatchSampler:
+    """Epoch-seeded global shuffle -> per-process contiguous shard ->
+    batches (DistributedSampler semantics, torch sampler parity)."""
+
+    def __init__(
+        self,
+        dataset_len: int,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        seed: int = 0,
+    ):
+        self.dataset_len = dataset_len
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        idx = np.arange(self.dataset_len)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # pad so every shard sees the same count (DistributedSampler)
+        per_shard = -(-self.dataset_len // self.num_shards)
+        pad = per_shard * self.num_shards - self.dataset_len
+        if pad:
+            idx = np.concatenate([idx, idx[:pad]])
+        idx = idx[self.shard_index :: self.num_shards]
+        n_batches = (
+            len(idx) // self.batch_size
+            if self.drop_last
+            else -(-len(idx) // self.batch_size)
+        )
+        for b in range(n_batches):
+            yield idx[b * self.batch_size : (b + 1) * self.batch_size]
+
+    def __len__(self) -> int:
+        per_shard = -(-self.dataset_len // self.num_shards)
+        if self.drop_last:
+            return per_shard // self.batch_size
+        return -(-per_shard // self.batch_size)
+
+
+def _collate(samples) -> Dict[str, np.ndarray]:
+    out = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        out[k] = np.stack(vals) if np.ndim(vals[0]) else np.asarray(vals)
+    return out
+
+
+class DataLoader:
+    """Threaded prefetching loader yielding collated numpy batches."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.sampler = ShardedBatchSampler(
+            len(dataset), batch_size, shuffle, drop_last, num_shards, shard_index, seed
+        )
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+
+    def set_epoch(self, epoch: int) -> None:
+        self.sampler.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = list(self.sampler)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce(worker_id: int):
+            for bi in range(worker_id, len(batches), self.num_workers):
+                if stop.is_set():
+                    return
+                try:
+                    batch = _collate([self.dataset[i] for i in batches[bi]])
+                    out_q.put((bi, batch))
+                except Exception as e:  # surface errors to the consumer
+                    out_q.put((bi, e))
+            out_q.put((None, worker_id))
+
+        workers = [
+            threading.Thread(target=produce, args=(w,), daemon=True)
+            for w in range(self.num_workers)
+        ]
+        for w in workers:
+            w.start()
+
+        try:
+            pending: Dict[int, object] = {}
+            next_bi, done_workers = 0, 0
+            while next_bi < len(batches):
+                if next_bi in pending:
+                    item = pending.pop(next_bi)
+                else:
+                    bi, item = out_q.get()
+                    if bi is None:
+                        done_workers += 1
+                        if done_workers == len(workers) and next_bi < len(batches):
+                            raise RuntimeError("loader workers exited early")
+                        continue
+                    if bi != next_bi:
+                        pending[bi] = item
+                        continue
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+                next_bi += 1
+        finally:
+            stop.set()
+            for w in workers:
+                w.join(timeout=0.1)

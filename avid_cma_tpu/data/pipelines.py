@@ -1,0 +1,80 @@
+"""Device-side preprocessing pipelines: raw host batches -> model inputs.
+
+Replaces the reference's CPU transform stack (datasets/preprocessing.py
+VideoPrep_MSC_CJ / VideoPrep_Crop_CJ / AudioPrep / LogSpectrogram) with a
+single jitted function per phase: uint8 frames + waveforms in, normalized
+(B,T,S,S,3) clips + (B,T,F,1) spectrograms out. Audio volume jitter
+(+/-10%, AudioPrep preprocessing.py:148-150) is folded in here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from avid_cma_tpu.ops.stft import log_spectrogram
+from avid_cma_tpu.ops.video_aug import augment_clips_eval, augment_clips_train
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessConfig:
+    crop_size: int = 224
+    min_area: float = 0.08
+    color: Tuple[float, float, float, float] = (0.4, 0.4, 0.4, 0.2)
+    audio_fps: int = 24000
+    n_fft: int = 512
+    spectrogram_fps: float = 100.0
+    audio_clip_duration: float = 2.0
+    volume_jitter: float = 0.1
+    normalize_spectrogram: bool = True
+
+    @property
+    def hop_size(self) -> float:
+        return 1.0 / self.spectrogram_fps
+
+
+@partial(jax.jit, static_argnames=("cfg", "train"))
+def preprocess_batch(
+    key: jax.Array,
+    batch: Dict[str, jnp.ndarray],
+    cfg: PreprocessConfig,
+    train: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """{frames: uint8 (B,T,H,W,C), audio: f32 (B,L), ...} ->
+    {frames: f32 (B,T,S,S,C), audio: f32 (B,T',F,1), ...}."""
+    out = dict(batch)
+    k_vid, k_vol = jax.random.split(key)
+    if "frames" in batch:
+        if train:
+            out["frames"] = augment_clips_train(
+                k_vid,
+                batch["frames"],
+                crop_size=cfg.crop_size,
+                min_area=cfg.min_area,
+                color=cfg.color,
+            )
+        else:
+            out["frames"] = augment_clips_eval(batch["frames"], crop_size=cfg.crop_size)
+    if "audio" in batch:
+        wav = batch["audio"]
+        if train and cfg.volume_jitter > 0:
+            vol = jax.random.uniform(
+                k_vol,
+                (wav.shape[0], 1),
+                minval=1.0 - cfg.volume_jitter,
+                maxval=1.0 + cfg.volume_jitter,
+            )
+            wav = wav * vol
+        out["audio"] = log_spectrogram(
+            wav,
+            sample_rate=cfg.audio_fps,
+            n_fft=cfg.n_fft,
+            hop_size=cfg.hop_size,
+            duration=cfg.audio_clip_duration,
+            normalize=cfg.normalize_spectrogram,
+        )
+    return out

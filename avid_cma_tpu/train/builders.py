@@ -1,0 +1,134 @@
+"""Config-driven builders: the DI container wiring YAML to components.
+
+Capability reference: utils/main_utils.py:74-262 (build_model /
+build_dataloaders / build_criterion / build_optimizer) — registry
+lookups parameterized by the reference YAML schema, preserved verbatim
+so the reference configs run unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from avid_cma_tpu.config import Config
+from avid_cma_tpu.criterions import AVIDCMAConfig, AVIDConfig
+from avid_cma_tpu.data import DataLoader, PreprocessConfig
+from avid_cma_tpu.registry import DATASETS, MODELS
+
+
+def build_model(model_cfg: Config, dtype=None):
+    """reference: utils/main_utils.py:74-93 (arch registry lookup).
+    The model `checkpoint` arg (backbone warm-start) is resolved by the
+    caller via train.checkpoint.import_model_pth_tar."""
+    args = dict(model_cfg.get("args", {}))
+    args.pop("checkpoint", None)
+    return MODELS.get(model_cfg["arch"])(**args, dtype=dtype)
+
+
+def build_criterion_config(loss_cfg: Config, embedding_dim: int = 128):
+    """reference: utils/main_utils.py:231-237 + main-avid.py:100-101
+    (embedding_dim injected from model.out_dim). Returns the criterion
+    dataclass; the `checkpoint` arg (bank restore) is handled by the
+    caller."""
+    name = loss_cfg["name"]
+    args = dict(loss_cfg.get("args", {}))
+    args.pop("checkpoint", None)
+    args.pop("device", None)
+    if name == "AVID":
+        return AVIDConfig(embedding_dim=embedding_dim, **args)
+    if name == "AVID_CMA":
+        sampling = args.pop("sampling_args", {}) or {}
+        return AVIDCMAConfig(
+            embedding_dim=embedding_dim,
+            pos_k=sampling.get("pos_k", 32),
+            sampling_type=sampling.get("type", "consensus"),
+            **args,
+        )
+    raise ValueError(f"unknown criterion '{name}'")
+
+
+def build_preprocess_config(db_cfg: Config) -> PreprocessConfig:
+    return PreprocessConfig(
+        crop_size=int(db_cfg.get("crop_size", 224)),
+        min_area=float(db_cfg.get("min_area", 0.08)),
+        color=tuple(db_cfg.get("color", (0.4, 0.4, 0.4, 0.2))),
+        audio_fps=int(db_cfg.get("audio_fps", 24000)),
+        n_fft=int(db_cfg.get("n_fft", 512)),
+        spectrogram_fps=float(db_cfg.get("spectrogram_fps", 100.0)),
+        audio_clip_duration=float(db_cfg.get("audio_clip_duration", 2.0)),
+    )
+
+
+def build_dataset(
+    db_cfg: Config,
+    split_cfg: Config,
+    mode: Optional[str] = None,
+    return_audio: bool = True,
+    return_labels: bool = False,
+    fold: Optional[int] = None,
+):
+    """reference: utils/main_utils.py:138-212 (transform + dataset
+    assembly) and utils/eval_utils.py:67-128 (benchmark variants).
+    Decode-only on host; device preprocessing replaces transform objects."""
+    name = db_cfg["name"]
+    split = split_cfg["split"]
+    if fold is not None:
+        split = split.format(fold=fold)
+
+    kwargs = dict(
+        subset=split,
+        root=db_cfg.get("root"),
+        backend=db_cfg.get("backend", "auto"),
+        mode=mode or split_cfg.get("mode", "clip"),
+        return_video=True,
+        video_clip_duration=float(
+            db_cfg.get("video_clip_duration", db_cfg.get("clip_duration", 0.5))
+        ),
+        video_fps=float(db_cfg.get("video_fps", 16.0)),
+        return_audio=return_audio,
+        return_labels=return_labels,
+        return_index=True,
+        max_offsync_augm=0.5 if split_cfg.get("use_augmentation") and return_audio else 0.0,
+        mode_clips_per_video=int(split_cfg.get("clips_per_video", 1)),
+    )
+    if return_audio:
+        kwargs.update(
+            audio_clip_duration=float(db_cfg.get("audio_clip_duration", 2.0)),
+            audio_fps=int(db_cfg.get("audio_fps", 24000)),
+        )
+    if "synthetic_size" in db_cfg:
+        kwargs["synthetic_size"] = int(db_cfg["synthetic_size"])
+    if db_cfg.get("anno_path") is not None:
+        kwargs["anno_path"] = db_cfg["anno_path"]
+    if db_cfg.get("cache_path") is not None and name == "audioset":
+        kwargs["cache_path"] = db_cfg["cache_path"]
+        kwargs.pop("anno_path", None)
+    if name == "audioset":
+        kwargs.pop("return_labels", None)
+        kwargs["return_labels"] = False
+    return DATASETS.get(name)(**kwargs)
+
+
+def build_dataloader(
+    dataset,
+    db_cfg: Config,
+    split_cfg: Config,
+    num_workers: int = 4,
+    num_shards: int = 1,
+    shard_index: int = 0,
+    seed: int = 0,
+) -> DataLoader:
+    """reference: utils/main_utils.py:214-228 (DataLoader +
+    DistributedSampler, per-process batch division)."""
+    return DataLoader(
+        dataset,
+        batch_size=int(db_cfg["batch_size"]) // max(num_shards, 1),
+        shuffle=bool(split_cfg.get("use_shuffle", split_cfg.get("use_augmentation", True))),
+        drop_last=bool(split_cfg.get("drop_last", True)),
+        num_workers=num_workers,
+        num_shards=num_shards,
+        shard_index=shard_index,
+        seed=seed,
+    )

@@ -1,0 +1,413 @@
+"""Action-recognition evaluation: full finetune and multi-tap linear probe.
+
+Capability reference:
+  * eval-action-recg.py:29-185 — UCF/HMDB full finetune: warmup phase
+    training the classifier only (:74-84), epoch loop with periodic clip
+    eval, final clip eval at clips_per_video=25 plus dense-video eval
+    with softmax-mean over chunks (:100-110,154-157)
+  * eval-action-recg-linear.py:29-195 — Kinetics linear probe over
+    multiple frozen conv taps, per-tap meters/losses summed into one
+    backward (:142-163), dict-output BatchWrapper (:181-195)
+  * utils/eval_utils.py builders/wrappers
+
+TPU-first: classifier/finetune steps are single jitted SPMD programs;
+warmup vs full-finetune is an optax mask (no parameter-list surgery);
+dense eval flattens (B, clips, ...) into the batch axis with chunking to
+bound memory (BatchWrapper analogue).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from avid_cma_tpu.config import Config
+from avid_cma_tpu.models.eval_wrappers import ClassificationWrapper, MOSTModel
+from avid_cma_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from avid_cma_tpu.train import builders
+from avid_cma_tpu.train.checkpoint import CheckpointManager, import_model_pth_tar
+from avid_cma_tpu.train.optim import build_from_config
+from avid_cma_tpu.train.state import TrainState
+from avid_cma_tpu.utils.logger import AverageMeter, Logger, ProgressMeter, accuracy
+
+
+# ---------------------------------------------------------------------------
+# steps
+# ---------------------------------------------------------------------------
+
+def classifier_only_mask(params) -> dict:
+    """True = trainable. Warmup trains everything except the backbone
+    (reference filters 'feature_extractor' params, eval-action-recg.py:77)."""
+    def mask(path, _):
+        return "feature_extractor" not in [str(getattr(p, "key", p)) for p in path]
+
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def make_supervised_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    multi_output: bool = False,
+    axis: str = DATA_AXIS,
+):
+    """Cross-entropy finetune/probe step. For multi_output (MOSTModel),
+    the per-tap losses are summed for one backward
+    (eval-action-recg-linear.py:142-163)."""
+
+    def local_step(state: TrainState, frames, labels):
+        drop_rng = jax.random.fold_in(state.next_rng(), jax.lax.axis_index(axis))
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, mut = model.apply(
+                variables, frames, train=True,
+                mutable=["batch_stats"], rngs={"dropout": drop_rng},
+            )
+            if multi_output:
+                losses = {
+                    ft: optax.softmax_cross_entropy_with_integer_labels(
+                        logits, labels
+                    ).mean()
+                    for ft, logits in out.items()
+                }
+                total = sum(losses.values())
+                return total, (losses, out, mut["batch_stats"])
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                out, labels
+            ).mean()
+            return loss, ({"loss": loss}, out, mut["batch_stats"])
+
+        (loss, (losses, logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grads = jax.lax.pmean(grads, axis)
+        new_stats = jax.lax.pmean(new_stats, axis)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params,
+            batch_stats=new_stats, opt_state=new_opt,
+        )
+        metrics = jax.lax.pmean({**losses, "loss": loss}, axis)
+        return new_state, metrics, logits
+
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P(axis)),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_logits_fn(model, mesh: Mesh, axis: str = DATA_AXIS):
+    def local(params, batch_stats, frames):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, frames, train=False
+        )
+
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(axis)), out_specs=P(axis),
+    )
+    return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
+
+def _load_backbone(model_cfg: Config, which: str = "video_model"):
+    """Pretrained backbone + its imported variables
+    (reference: utils/eval_utils.py:332-344)."""
+    from avid_cma_tpu.registry import MODELS
+
+    args = model_cfg["args"]
+    backbone = MODELS.get(args["video_backbone"])(**dict(args["video_backbone_args"]))
+    ckpt_path = os.path.join(
+        model_cfg["model_dir"], model_cfg["name"], "checkpoint.pth.tar"
+    )
+    variables = None
+    if os.path.isfile(ckpt_path):
+        full = import_model_pth_tar(ckpt_path)
+        variables = {
+            "params": full["params"][which],
+            "batch_stats": full.get("batch_stats", {}).get(which, {}),
+        }
+    return backbone, variables
+
+
+def _preprocess_frames(batch, pp_cfg, key, train: bool):
+    from avid_cma_tpu.data.pipelines import preprocess_batch
+
+    out = preprocess_batch(key, {"frames": batch["frames"]}, pp_cfg, train=train)
+    return out["frames"]
+
+
+def run_action_recognition(
+    eval_cfg: Config, model_cfg: Config, fold: Optional[int] = None,
+    debug: bool = False,
+) -> Dict[str, float]:
+    """Full finetune benchmark (reference: eval-action-recg.py)."""
+    mesh = make_mesh()
+    db = eval_cfg.dataset
+    fold = fold if fold is not None else int(db.get("fold", 1))
+    eval_dir = os.path.join(
+        model_cfg["model_dir"], model_cfg["name"],
+        f"eval-{eval_cfg.benchmark['name']}", f"fold-{fold:02d}",
+    )
+    logger = Logger(path=os.path.join(eval_dir, "eval.log"))
+    logger.add_line(f"finetune eval fold {fold} -> {eval_dir}")
+
+    backbone, bb_vars = _load_backbone(model_cfg)
+    mcfg = eval_cfg.model
+    model = ClassificationWrapper(
+        feature_extractor=backbone,
+        n_classes=int(mcfg["args"]["n_classes"]),
+        feat_name=mcfg["args"].get("feat_name", "pool"),
+        pooling_op=mcfg["args"].get("pooling_op"),
+        use_dropout=bool(mcfg["args"].get("use_dropout", False)),
+        dropout=float(mcfg["args"].get("dropout", 0.5)),
+    )
+
+    train_ds = builders.build_dataset(
+        db, db.train, return_audio=False, return_labels=True, fold=fold
+    )
+    test_ds = builders.build_dataset(
+        db, db.test, return_audio=False, return_labels=True, fold=fold
+    )
+    dense_ds = builders.build_dataset(
+        db, db.test_dense, mode="video", return_audio=False,
+        return_labels=True, fold=fold,
+    )
+    workers = 1 if debug else int(eval_cfg.get("num_workers", 4))
+    train_loader = builders.build_dataloader(train_ds, db, db.train, workers)
+    test_loader = builders.build_dataloader(test_ds, db, db.test, workers)
+
+    pp_cfg = builders.build_preprocess_config(db)
+    sample_frames = _preprocess_frames(
+        next(iter(train_loader)), pp_cfg, jax.random.key(0), True
+    )
+
+    variables = model.init(
+        jax.random.key(0), sample_frames, train=False
+    )
+    params = variables["params"]
+    if bb_vars is not None:
+        params = dict(params)
+        params["feature_extractor"] = bb_vars["params"]
+        batch_stats = dict(variables.get("batch_stats", {}))
+        if bb_vars["batch_stats"]:
+            batch_stats["feature_extractor"] = bb_vars["batch_stats"]
+        logger.add_line("loaded pretrained backbone")
+    else:
+        batch_stats = variables.get("batch_stats", {})
+        logger.add_line("warning: no pretrain checkpoint found; random backbone")
+
+    opt_cfg = eval_cfg.optimizer
+    steps_per_epoch = max(len(train_loader), 1)
+    num_epochs = int(opt_cfg["num_epochs"]) if not debug else 1
+    full_opt = build_from_config(opt_cfg, steps_per_epoch)
+
+    state = TrainState(
+        step=jnp.int32(0), epoch=jnp.int32(0), params=params,
+        batch_stats=batch_stats, opt_state=None,
+        bank=None, rng=jax.random.key(int(eval_cfg.get("seed", 0))),
+    )
+
+    if opt_cfg.get("warmup_classifier"):
+        # classifier-only phase (reference: eval-action-recg.py:74-84).
+        # NOTE: steps donate their input state, so the finetune state must
+        # be derived from the warmup OUTPUT, never from pre-warmup buffers.
+        warm_opt = optax.masked(full_opt, classifier_only_mask(params))
+        state = state.replace(opt_state=warm_opt.init(state.params))
+        warm_step = make_supervised_train_step(model, warm_opt, mesh)
+        state = _train_epochs(
+            state, warm_step, train_loader, pp_cfg, 1,
+            logger, phase="warmup", debug=debug,
+        )
+
+    state = state.replace(opt_state=full_opt.init(state.params))
+    train_step = make_supervised_train_step(model, full_opt, mesh)
+    state = _train_epochs(
+        state, train_step, train_loader, pp_cfg, num_epochs, logger,
+        phase="finetune", debug=debug,
+    )
+
+    logits_fn = make_logits_fn(model, mesh)
+    clip_top1, clip_top5 = _clip_eval(state, logits_fn, test_loader, pp_cfg)
+    video_top1, video_top5 = _dense_eval(
+        state, logits_fn, dense_ds, pp_cfg,
+        batch_clips=int(db["batch_size"]), workers=workers,
+    )
+    results = {
+        "clip@1": clip_top1, "clip@5": clip_top5,
+        "video@1": video_top1, "video@5": video_top5,
+    }
+    logger.add_line(f"RESULTS {results}")
+    return results
+
+
+def _train_epochs(state, step_fn, loader, pp_cfg, epochs, logger, phase, debug):
+    for epoch in range(epochs):
+        loader.set_epoch(epoch)
+        loss_m = AverageMeter("Loss", ":.4e")
+        acc_m = AverageMeter("Acc@1", ":6.2f")
+        progress = ProgressMeter(len(loader), [loss_m, acc_m], phase=phase,
+                                 epoch=epoch, logger=logger)
+        for it, batch in enumerate(loader):
+            key = jax.random.fold_in(jax.random.key(123), int(state.step))
+            frames = _preprocess_frames(batch, pp_cfg, key, train=True)
+            labels = jnp.asarray(batch["label"])
+            state, metrics, logits = step_fn(state, frames, labels)
+            loss_m.update(float(metrics["loss"]), n=labels.shape[0])
+            top1 = accuracy(np.asarray(logits), np.asarray(labels), (1,))[0]
+            acc_m.update(top1, n=labels.shape[0])
+            if it % 50 == 0 or it == len(loader) - 1:
+                progress.display(it)
+            if debug and it >= 2:
+                break
+    return state
+
+
+def _clip_eval(state, logits_fn, loader, pp_cfg) -> Tuple[float, float]:
+    all_logits, all_labels = [], []
+    for batch in loader:
+        frames = _preprocess_frames(batch, pp_cfg, jax.random.key(0), train=False)
+        logits = logits_fn(state.params, state.batch_stats, frames)
+        all_logits.append(np.asarray(logits))
+        all_labels.append(np.asarray(batch["label"]))
+    logits = np.concatenate(all_logits)
+    labels = np.concatenate(all_labels)
+    top1, top5 = accuracy(logits, labels, (1, 5))
+    return top1, top5
+
+
+def _dense_eval(
+    state, logits_fn, dense_ds, pp_cfg, batch_clips: int, workers: int = 1
+) -> Tuple[float, float]:
+    """Dense video eval: softmax over each chunk, averaged over chunks
+    (reference: eval-action-recg.py:101-110 + BatchWrapper chunking)."""
+    video_scores, video_labels = [], []
+    for vi in range(len(dense_ds)):
+        sample = dense_ds[vi]
+        frames = sample["frames"]  # (clips, T, H, W, C)
+        probs = []
+        for s in range(0, frames.shape[0], batch_clips):
+            chunk = frames[s : s + batch_clips]
+            f = _preprocess_frames(
+                {"frames": chunk}, pp_cfg, jax.random.key(0), train=False
+            )
+            logits = logits_fn(state.params, state.batch_stats, f)
+            probs.append(jax.nn.softmax(np.asarray(logits), axis=-1))
+        video_scores.append(np.concatenate(probs).mean(axis=0))
+        video_labels.append(sample["label"])
+    scores = np.stack(video_scores)
+    labels = np.asarray(video_labels)
+    top1, top5 = accuracy(scores, labels, (1, 5))
+    return top1, top5
+
+
+def run_linear_probe(
+    eval_cfg: Config, model_cfg: Config, fold: int = 1, debug: bool = False
+) -> Dict[str, Dict[str, float]]:
+    """Frozen multi-tap linear probe (reference: eval-action-recg-linear.py)."""
+    mesh = make_mesh()
+    db = eval_cfg.dataset
+    eval_dir = os.path.join(
+        model_cfg["model_dir"], model_cfg["name"],
+        f"eval-{eval_cfg.benchmark['name']}", f"fold-{fold:02d}",
+    )
+    logger = Logger(path=os.path.join(eval_dir, "eval.log"))
+
+    backbone, bb_vars = _load_backbone(model_cfg)
+    margs = eval_cfg.model["args"]
+    model = MOSTModel(
+        feature_extractor=backbone,
+        n_classes=int(margs["n_classes"]),
+        feat_names=list(margs["feat_names"]),
+        pooling_ops=list(margs["pooling_ops"]),
+        l2_norm=margs.get("l2_norm"),
+        use_bn=bool(margs.get("use_bn", True)),
+        use_dropout=bool(margs.get("use_dropout", False)),
+    )
+
+    train_ds = builders.build_dataset(
+        db, db.train, return_audio=False, return_labels=True, fold=fold
+    )
+    test_ds = builders.build_dataset(
+        db, db.test, return_audio=False, return_labels=True, fold=fold
+    )
+    workers = 1 if debug else int(eval_cfg.get("num_workers", 4))
+    train_loader = builders.build_dataloader(train_ds, db, db.train, workers)
+    test_loader = builders.build_dataloader(test_ds, db, db.test, workers)
+    pp_cfg = builders.build_preprocess_config(db)
+
+    sample_frames = _preprocess_frames(
+        next(iter(train_loader)), pp_cfg, jax.random.key(0), True
+    )
+    variables = model.init(jax.random.key(0), sample_frames, train=False)
+    params = dict(variables["params"])
+    batch_stats = dict(variables.get("batch_stats", {}))
+    if bb_vars is not None:
+        params["feature_extractor"] = bb_vars["params"]
+        if bb_vars["batch_stats"]:
+            batch_stats["feature_extractor"] = bb_vars["batch_stats"]
+        logger.add_line("loaded pretrained backbone (frozen)")
+
+    opt_cfg = eval_cfg.optimizer
+    steps_per_epoch = max(len(train_loader), 1)
+    base_opt = build_from_config(opt_cfg, steps_per_epoch)
+    optimizer = optax.masked(base_opt, classifier_only_mask(params))
+    num_epochs = int(opt_cfg["num_epochs"]) if not debug else 1
+
+    state = TrainState(
+        step=jnp.int32(0), epoch=jnp.int32(0), params=params,
+        batch_stats=batch_stats, opt_state=optimizer.init(params),
+        bank=None, rng=jax.random.key(int(eval_cfg.get("seed", 0))),
+    )
+    step_fn = make_supervised_train_step(model, optimizer, mesh, multi_output=True)
+
+    for epoch in range(num_epochs):
+        train_loader.set_epoch(epoch)
+        loss_m = AverageMeter("Loss", ":.4e")
+        progress = ProgressMeter(len(train_loader), [loss_m], phase="probe",
+                                 epoch=epoch, logger=logger)
+        for it, batch in enumerate(train_loader):
+            key = jax.random.fold_in(jax.random.key(7), int(state.step))
+            frames = _preprocess_frames(batch, pp_cfg, key, train=True)
+            labels = jnp.asarray(batch["label"])
+            state, metrics, _ = step_fn(state, frames, labels)
+            loss_m.update(float(metrics["loss"]), n=labels.shape[0])
+            if it % 50 == 0 or it == len(train_loader) - 1:
+                progress.display(it)
+            if debug and it >= 2:
+                break
+
+    # per-tap clip eval
+    logits_fn = make_logits_fn(model, mesh)
+    per_tap_logits: Dict[str, list] = {ft: [] for ft in model.feat_names}
+    labels_all = []
+    for batch in test_loader:
+        frames = _preprocess_frames(batch, pp_cfg, jax.random.key(0), train=False)
+        out = logits_fn(state.params, state.batch_stats, frames)
+        for ft in model.feat_names:
+            per_tap_logits[ft].append(np.asarray(out[ft]))
+        labels_all.append(np.asarray(batch["label"]))
+    labels = np.concatenate(labels_all)
+    results = {}
+    for ft in model.feat_names:
+        logits = np.concatenate(per_tap_logits[ft])
+        top1, top5 = accuracy(logits, labels, (1, 5))
+        results[ft] = {"clip@1": top1, "clip@5": top5}
+    logger.add_line(f"RESULTS {results}")
+    return results

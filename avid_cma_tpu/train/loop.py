@@ -1,0 +1,206 @@
+"""Pretraining orchestration: the epoch/step loop.
+
+Capability reference: main-avid.py:84-201 (main_worker + run_phase):
+build everything, restore, loop epochs calling the per-batch hot path,
+checkpoint per epoch (+milestone copies), meters + TensorBoard.
+
+TPU-first: the hot path is ONE jitted SPMD program (train/step.py); the
+host loop only feeds raw batches and drains metrics. Checkpoints are
+orbax (preemption-safe, every epoch AND every `save_freq_steps`), with
+optional .pth.tar export for reference interop.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avid_cma_tpu.config import Config
+from avid_cma_tpu.criterions import (
+    AVIDCMAConfig,
+    cma_state_from_bank,
+    init_bank_state,
+    mine_positives,
+    should_resample,
+)
+from avid_cma_tpu.criterions.avid import BankState
+from avid_cma_tpu.data.pipelines import preprocess_batch
+from avid_cma_tpu.parallel.mesh import make_mesh
+from avid_cma_tpu.train import builders
+from avid_cma_tpu.train.checkpoint import (
+    CheckpointManager,
+    import_criterion_pth_tar,
+    import_model_pth_tar,
+)
+from avid_cma_tpu.train.optim import build_from_config
+from avid_cma_tpu.train.state import TrainState
+from avid_cma_tpu.train.step import init_train_state, make_train_step
+from avid_cma_tpu.utils.logger import (
+    AverageMeter,
+    Logger,
+    ProgressMeter,
+    TensorBoardWriter,
+)
+
+
+def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
+    """`python main_avid.py <cfg.yaml>` body (reference: main-avid.py)."""
+    seed = int(cfg.get("seed", 0))
+    mesh = make_mesh()
+    n_dev = mesh.size
+
+    model_dir = os.path.join(cfg.model["model_dir"], cfg.model["name"])
+    logger = Logger(path=os.path.join(model_dir, "train.log"),
+                    rank=jax.process_index())
+    tb = TensorBoardWriter(os.path.join(model_dir, "tb"),
+                           enabled=bool(cfg.get("log2tb", False)))
+    logger.add_line(f"devices={n_dev} mesh={mesh.shape} seed={seed}")
+
+    db_cfg = cfg.dataset
+    if debug:
+        db_cfg = Config(dict(db_cfg))
+        db_cfg["batch_size"] = max(n_dev * 2, 4)
+
+    # --- data -------------------------------------------------------------
+    train_ds = builders.build_dataset(db_cfg, db_cfg.train, mode="clip")
+    num_workers = 1 if debug else int(cfg.get("num_workers", 4))
+    loader = builders.build_dataloader(
+        train_ds, db_cfg, db_cfg.train, num_workers=num_workers,
+        num_shards=jax.process_count(), shard_index=jax.process_index(),
+        seed=seed,
+    )
+    pp_cfg = builders.build_preprocess_config(db_cfg)
+    logger.add_line(f"train dataset: {train_ds.name} n={train_ds.num_samples} "
+                    f"batches/epoch={len(loader)}")
+
+    # --- model / criterion / optimizer -----------------------------------
+    model = build_model_with_warmstart(cfg.model, logger)
+    crit_cfg = builders.build_criterion_config(cfg.loss, embedding_dim=128)
+    if crit_cfg.num_data != train_ds.num_samples:
+        logger.add_line(
+            f"note: loss.num_data={crit_cfg.num_data} != dataset size "
+            f"{train_ds.num_samples}; using dataset size"
+        )
+        import dataclasses
+
+        crit_cfg = dataclasses.replace(crit_cfg, num_data=train_ds.num_samples)
+
+    steps_per_epoch = max(len(loader), 1)
+    optimizer = build_from_config(cfg.optimizer, steps_per_epoch)
+    epochs = int(cfg.optimizer["num_epochs"]) if not debug else 2
+    milestones = set(cfg.optimizer["lr"].get("milestones", []))
+
+    # --- state init / restore ---------------------------------------------
+    sample = next(iter(loader))
+    sample = preprocess_batch(jax.random.key(0), sample, pp_cfg, train=True)
+    state = init_train_state(jax.random.key(seed), model, sample, optimizer)
+    # backbone warm-start from a reference/exported .pth.tar (the AVID-CMA
+    # configs point model.args.checkpoint at the AVID pretrain checkpoint)
+    model_ck = cfg.model.get("args", {}).get("checkpoint")
+    if model_ck and os.path.isfile(model_ck):
+        variables = import_model_pth_tar(model_ck)
+        state = state.replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", state.batch_stats),
+        )
+        logger.add_line(f"warm-started model from {model_ck}")
+    state = state.replace(bank=_init_bank(cfg.loss, crit_cfg, mesh, seed, logger))
+
+    ckpt = CheckpointManager(os.path.join(model_dir, "orbax"))
+    if cfg.get("resume") and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        logger.add_line(f"resumed from step {int(state.step)}")
+
+    train_step = make_train_step(model, crit_cfg, optimizer, mesh)
+
+    # --- epoch loop --------------------------------------------------------
+    start_epoch = int(state.epoch)
+    print_freq = int(cfg.get("print_freq", 100))
+    for epoch in range(start_epoch, epochs):
+        if isinstance(crit_cfg, AVIDCMAConfig) and should_resample(
+            epoch, crit_cfg.resample_freq
+        ):
+            logger.add_line(f"epoch {epoch}: re-mining CMA positive set")
+            pos = mine_positives(
+                state.bank.view1_mem, state.bank.view2_mem,
+                crit_cfg.pos_k, crit_cfg.sampling_type, mesh=mesh,
+            )
+            state = state.replace(
+                bank=state.bank.replace(positive_set=pos.astype(jnp.int32))
+            )
+
+        loader.set_epoch(epoch)
+        state = state.replace(epoch=jnp.int32(epoch))
+        meters = {
+            "loss": AverageMeter("Loss", ":.4e"),
+            "batch_t": AverageMeter("Time", ":.3f", window_size=100),
+            "data_t": AverageMeter("Data", ":.3f", window_size=100),
+        }
+        progress = ProgressMeter(
+            len(loader), meters.values(), phase="pretrain", epoch=epoch,
+            logger=logger,
+        )
+
+        t0 = time.time()
+        for it, batch in enumerate(loader):
+            meters["data_t"].update(time.time() - t0)
+            key = jax.random.fold_in(jax.random.key(seed + 1), int(state.step))
+            batch = preprocess_batch(key, batch, pp_cfg, train=True)
+            state, metrics = train_step(state, batch)
+            if it % print_freq == 0 or it == len(loader) - 1:
+                loss = float(metrics["loss"])  # sync point
+                meters["loss"].update(loss, n=batch["index"].shape[0])
+                meters["batch_t"].update(time.time() - t0)
+                progress.display(it)
+                tb.add_scalars(
+                    {k: float(v) for k, v in metrics.items()}, int(state.step)
+                )
+            else:
+                meters["batch_t"].update(time.time() - t0)
+            t0 = time.time()
+
+        state = state.replace(epoch=jnp.int32(epoch + 1))
+        ckpt.save(int(state.step), state, force=(epoch + 1) in milestones)
+        logger.add_line(f"epoch {epoch} done; checkpoint @ step {int(state.step)}")
+
+    return state
+
+
+def build_model_with_warmstart(model_cfg: Config, logger: Optional[Logger] = None):
+    model = builders.build_model(model_cfg)
+    ck = model_cfg.get("args", {}).get("checkpoint")
+    if ck and os.path.isfile(ck) and logger:
+        logger.add_line(f"model warm-start available: {ck} (applied at init)")
+    return model
+
+
+def _init_bank(loss_cfg: Config, crit_cfg, mesh, seed: int, logger: Logger):
+    """AVID: fresh banks. AVID-CMA: banks+Z restored from the AVID
+    checkpoint (criterions/avid_cma.py:308-319), then the positive set is
+    mined before training (avid_cma.py:320-321)."""
+    ck = loss_cfg.get("args", {}).get("checkpoint")
+    if ck and os.path.isfile(ck):
+        bank = import_criterion_pth_tar(ck)
+        logger.add_line(f"restored banks from {ck} (z={float(bank.z):.4f})")
+    else:
+        bank = init_bank_state(
+            jax.random.key(seed + 2), crit_cfg.num_data, crit_cfg.embedding_dim
+        )
+        if isinstance(crit_cfg, AVIDCMAConfig) and ck:
+            logger.add_line(f"warning: CMA checkpoint {ck} missing; random banks")
+    if isinstance(crit_cfg, AVIDCMAConfig):
+        logger.add_line(
+            f"mining CMA positives: N={crit_cfg.num_data} pos_k={crit_cfg.pos_k} "
+            f"type={crit_cfg.sampling_type}"
+        )
+        pos = mine_positives(
+            bank.view1_mem, bank.view2_mem, crit_cfg.pos_k,
+            crit_cfg.sampling_type, mesh=mesh,
+        )
+        return cma_state_from_bank(bank, pos)
+    return bank

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark: AVID pretrain train-step throughput on the local chip(s).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Measures the full jitted hot path (device preprocessing + R(2+1)D-18 +
+Conv2D-10 forward + NCE vs 1024 negatives + backward + Adam + bank EMA)
+at the reference Kinetics recipe shapes (8 frames @ 112^2, 2 s audio ->
+200x257 spectrogram; BASELINE.json names the 112^2 single-batch config).
+
+vs_baseline: ratio against the PyTorch reference measured on this host's
+CPU-torch install is meaningless; we report against the recorded baseline
+clips/sec in BASELINE_PERF.json when present, else 0.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    crop = int(os.environ.get("BENCH_CROP", "112"))
+    frames = int(os.environ.get("BENCH_FRAMES", "8"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    from avid_cma_tpu.criterions import AVIDConfig
+    from avid_cma_tpu.data.pipelines import PreprocessConfig, preprocess_batch
+    from avid_cma_tpu.models import av_wrapper
+    from avid_cma_tpu.parallel.mesh import make_mesh
+    from avid_cma_tpu.train.optim import build_optimizer, multistep_schedule
+    from avid_cma_tpu.train.step import init_train_state, make_train_step
+
+    mesh = make_mesh()
+    model = av_wrapper(
+        video_backbone="R2Plus1D",
+        video_backbone_args={"depth": 18},
+        audio_backbone="Conv2D",
+        audio_backbone_args={"depth": 10},
+        proj_dim=[512, 512, 128],
+    )
+    cfg = AVIDConfig(num_data=232067, embedding_dim=128, num_negatives=1024,
+                     momentum=0.5)
+    pp = PreprocessConfig(crop_size=crop, audio_fps=24000, n_fft=512,
+                          spectrogram_fps=100.0, audio_clip_duration=2.0)
+
+    rng = np.random.default_rng(0)
+    raw = {
+        "frames": rng.integers(0, 255, (batch, frames, 128, 160, 3), dtype=np.uint8),
+        "audio": rng.normal(size=(batch, 48000)).astype(np.float32),
+        "index": np.arange(batch, dtype=np.int32),
+    }
+    opt = build_optimizer("adam", multistep_schedule(2e-4, [10], 1.0, 1000),
+                          weight_decay=1e-5)
+
+    key = jax.random.key(0)
+    sample = preprocess_batch(key, raw, pp, train=True)
+    state = init_train_state(key, model, sample, opt, cfg)
+    train_step = make_train_step(model, cfg, opt, mesh)
+
+    def one_step(state, i):
+        b = preprocess_batch(jax.random.fold_in(key, i), raw, pp, train=True)
+        return train_step(state, b)
+
+    # warmup / compile
+    state, metrics = one_step(state, 0)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(1, steps + 1):
+        state, metrics = one_step(state, i)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = batch * steps / dt
+    n_chips = jax.device_count()
+
+    baseline = 0.0
+    if os.path.isfile("BASELINE_PERF.json"):
+        try:
+            baseline = float(json.load(open("BASELINE_PERF.json"))["clips_per_sec_per_chip"])
+        except Exception:
+            baseline = 0.0
+    value = clips_per_sec / n_chips
+    print(json.dumps({
+        "metric": f"avid_pretrain_clips_per_sec_per_chip_b{batch}_{frames}x{crop}",
+        "value": round(value, 2),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(value / baseline, 3) if baseline > 0 else 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,34 @@
+#!/usr/bin/env python
+"""Full-finetune action recognition eval (UCF-101 / HMDB-51).
+
+Usage (reference CLI parity, eval-action-recg.py:29-44):
+    python eval_action_recg.py <eval_cfg.yaml> <model_cfg.yaml> [--fold N]
+"""
+
+import argparse
+
+from avid_cma_tpu import config as config_lib
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("eval_cfg")
+    p.add_argument("model_cfg")
+    p.add_argument("--fold", type=int, default=None)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--set", dest="overrides", action="append", default=[])
+    args = p.parse_args()
+
+    eval_cfg = config_lib.load(args.eval_cfg, overrides=args.overrides)
+    model_cfg = config_lib.load(args.model_cfg).model
+
+    from avid_cma_tpu.train.eval_loop import run_action_recognition
+
+    results = run_action_recognition(
+        eval_cfg, model_cfg, fold=args.fold, debug=args.debug
+    )
+    print(results)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Data layer: synthetic decode determinism, clip/video dataset modes,
+sharded loader semantics, device preprocessing shapes
+(reference semantics: datasets/video_db.py, utils/main_utils.py:138-228)."""
+
+import jax
+import numpy as np
+import pytest
+
+from avid_cma_tpu.data import (
+    DataLoader,
+    Kinetics,
+    PreprocessConfig,
+    ShardedBatchSampler,
+    SyntheticBackend,
+    UCF,
+    VideoDataset,
+    preprocess_batch,
+)
+
+
+def small_backend():
+    return SyntheticBackend(duration=4.0, video_fps=8.0, height=64, width=80)
+
+
+def make_ds(**kw):
+    be = small_backend()
+    fns = [f"v{i}.mp4" for i in range(6)]
+    defaults = dict(
+        backend=be,
+        video_fns=fns,
+        video_clip_duration=0.5,
+        video_fps=8.0,
+        audio_clip_duration=1.0,
+        audio_fps=8000,
+        return_index=True,
+    )
+    defaults.update(kw)
+    return VideoDataset(**defaults)
+
+
+def test_synthetic_backend_deterministic():
+    be = small_backend()
+    f1 = be.load_video("a.mp4", 1.0, 0.5, 8.0)
+    f2 = be.load_video("a.mp4", 1.0, 0.5, 8.0)
+    f3 = be.load_video("b.mp4", 1.0, 0.5, 8.0)
+    np.testing.assert_array_equal(f1, f2)
+    assert not np.array_equal(f1, f3)
+    assert f1.shape == (4, 64, 80, 3) and f1.dtype == np.uint8
+    a = be.load_audio("a.mp4", 0.0, 1.0, 8000)
+    assert a.shape == (8000,) and a.dtype == np.float32
+    assert np.abs(a).max() <= 1.0
+
+
+def test_clip_mode_sample():
+    ds = make_ds(mode="clip", mode_clips_per_video=3)
+    assert len(ds) == 18  # num_samples * clips_per_video (video_db.py:238-242)
+    s = ds[7]
+    assert s["frames"].shape == (4, 64, 80, 3)
+    assert s["audio"].shape == (8000,)
+    assert s["index"] == 7 % 6
+
+
+def test_clip_mode_skips_bad_samples():
+    class FlakyBackend(SyntheticBackend):
+        def load_video(self, path, *a, **k):
+            if "v1" in path:
+                raise RuntimeError("corrupt")
+            return super().load_video(path, *a, **k)
+
+    be = FlakyBackend(duration=4.0, video_fps=8.0, height=32, width=32)
+    ds = make_ds(backend=be)
+    s = ds[1]  # index 1 is corrupt -> falls through to index 2
+    assert s["index"] == 2
+
+
+def test_video_mode_dense_chunks():
+    ds = make_ds(mode="video", mode_clips_per_video=5)
+    assert len(ds) == 6
+    s = ds[0]
+    # 4s @ 8fps = 32 frames total; chunk = 0.5*8 = 4 frames
+    assert s["frames"].shape == (5, 4, 64, 80, 3)
+    # audio: 4s @ 8k = 32000; chunk = 1.0*8000
+    assert s["audio"].shape == (5, 8000)
+    assert s["index"].shape == (5,)
+    # chunks uniformly spaced: first starts at 0, last at n-chunk
+    full = ds.backend.load_video("v0.mp4", 0.0, 4.0, 8.0)
+    np.testing.assert_array_equal(s["frames"][0], full[:4])
+    np.testing.assert_array_equal(s["frames"][-1], full[28:32])
+
+
+def test_sharded_sampler_partitions():
+    n = 40
+    shards = [
+        ShardedBatchSampler(
+            n, 4, shuffle=True, drop_last=False, num_shards=4, shard_index=i, seed=1
+        )
+        for i in range(4)
+    ]
+    seen = []
+    for s in shards:
+        for batch in s:
+            seen.extend(batch.tolist())
+    # without drop_last, the 4 shards exactly cover the dataset
+    assert sorted(set(seen)) == list(range(n))
+    # with drop_last, ragged tail batches are dropped per shard
+    dropping = ShardedBatchSampler(
+        n, 4, shuffle=True, drop_last=True, num_shards=4, shard_index=0, seed=1
+    )
+    assert len(dropping) == 10 // 4
+
+
+def test_sampler_epoch_reshuffles():
+    s = ShardedBatchSampler(32, 8, shuffle=True, seed=0)
+    e0 = np.concatenate(list(s))
+    s.set_epoch(1)
+    e1 = np.concatenate(list(s))
+    assert not np.array_equal(e0, e1)
+    assert sorted(e0) == sorted(e1)
+
+
+def test_loader_yields_ordered_batches():
+    ds = make_ds(mode="clip")
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=3)
+    batches = list(dl)
+    assert len(batches) == 3
+    for b in batches:
+        assert b["frames"].shape == (2, 4, 64, 80, 3)
+        assert b["audio"].shape == (2, 8000)
+    idx = np.concatenate([b["index"] for b in batches])
+    np.testing.assert_array_equal(idx, np.arange(6))
+
+
+def test_loader_propagates_errors():
+    class BadDS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise ValueError("boom")
+
+    dl = DataLoader(BadDS(), batch_size=2, shuffle=False, num_workers=2)
+    with pytest.raises(ValueError, match="boom"):
+        list(dl)
+
+
+def test_dataset_registry_synthetic():
+    ds = Kinetics(
+        subset="train", backend="synthetic", synthetic_size=8,
+        mode="clip", video_clip_duration=0.5, video_fps=16.0,
+        audio_clip_duration=2.0, audio_fps=24000,
+        return_labels=True, return_index=True,
+    )
+    s = ds[0]
+    assert "label" in s and 0 <= s["label"] < 400
+    ucf = UCF(
+        subset="trainlist01", backend="synthetic", synthetic_size=8,
+        mode="clip", return_audio=False, return_labels=True,
+    )
+    s = ucf[0]
+    assert "audio" not in s and "label" in s
+
+
+def test_preprocess_batch_shapes():
+    cfg = PreprocessConfig(
+        crop_size=32, audio_fps=8000, n_fft=128,
+        spectrogram_fps=100.0, audio_clip_duration=1.0,
+        normalize_spectrogram=False,
+    )
+    batch = {
+        "frames": np.random.default_rng(0).integers(0, 255, (2, 4, 64, 80, 3), dtype=np.uint8),
+        "audio": np.random.default_rng(1).normal(size=(2, 8000)).astype(np.float32),
+        "index": np.arange(2, dtype=np.int32),
+    }
+    out = preprocess_batch(jax.random.key(0), batch, cfg, train=True)
+    assert out["frames"].shape == (2, 4, 32, 32, 3)
+    assert out["audio"].shape == (2, 100, 65, 1)
+    assert np.all(np.isfinite(np.asarray(out["frames"])))
+    assert np.all(np.isfinite(np.asarray(out["audio"])))
+    out_eval = preprocess_batch(jax.random.key(0), batch, cfg, train=False)
+    assert out_eval["frames"].shape == (2, 4, 32, 32, 3)

@@ -1,0 +1,81 @@
+"""Native shm-ring data plane: cross-process push/pop, framing, limits."""
+
+import multiprocessing as mp
+import os
+
+import numpy as np
+import pytest
+
+from avid_cma_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="no native toolchain"
+)
+
+
+def test_build_and_roundtrip_bytes():
+    ring = native.ShmRing(f"/avid_test_{os.getpid()}_a", n_slots=4, slot_bytes=1 << 16)
+    try:
+        ring.push_bytes(b"hello")
+        ring.push_bytes(b"world")
+        assert len(ring) == 2
+        assert ring.pop_bytes() == b"hello"
+        assert ring.pop_bytes() == b"world"
+    finally:
+        ring.free()
+
+
+def test_batch_framing_roundtrip():
+    batch = {
+        "frames": np.arange(24, dtype=np.uint8).reshape(2, 3, 4),
+        "audio": np.linspace(0, 1, 10, dtype=np.float32),
+        "index": np.asarray([3, 9], np.int32),
+    }
+    out = native.decode_batch(native.encode_batch(batch))
+    for k in batch:
+        np.testing.assert_array_equal(out[k], batch[k])
+        assert out[k].dtype == batch[k].dtype
+
+
+def test_slot_overflow_rejected():
+    ring = native.ShmRing(f"/avid_test_{os.getpid()}_b", n_slots=2, slot_bytes=64)
+    try:
+        with pytest.raises(ValueError):
+            ring.push_bytes(b"x" * 100)
+    finally:
+        ring.free()
+
+
+def test_pop_timeout():
+    ring = native.ShmRing(f"/avid_test_{os.getpid()}_c", n_slots=2, slot_bytes=64)
+    try:
+        with pytest.raises(TimeoutError):
+            ring.pop_bytes(timeout_ms=50)
+    finally:
+        ring.free()
+
+
+def _producer(name):
+    ring = native.ShmRing(name, create=False)
+    for i in range(5):
+        ring.push_batch({"x": np.full((4,), i, np.int64)})
+    ring.close_producer()
+
+
+def test_cross_process_batches():
+    name = f"/avid_test_{os.getpid()}_d"
+    ring = native.ShmRing(name, n_slots=3, slot_bytes=1 << 12)
+    try:
+        ctx = mp.get_context("fork")
+        p = ctx.Process(target=_producer, args=(name,))
+        p.start()
+        got = []
+        while True:
+            b = ring.pop_batch(timeout_ms=20_000)
+            if b is None:
+                break
+            got.append(int(b["x"][0]))
+        p.join(timeout=10)
+        assert got == [0, 1, 2, 3, 4]
+    finally:
+        ring.free()
