@@ -1,0 +1,243 @@
+"""Criterion-level golden parity vs the actual reference torch code.
+
+Runs the reference AVID criterion (criterions/avid.py) on CPU (with its
+hard-coded .cuda() calls neutralized) against avid_forward on identical
+banks/embeddings/instance indices/negative draws, asserting loss and
+bank-update parity. This is the 'NCE loss curves within 1%' contract at
+single-step granularity.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avid_cma_tpu.criterions.avid import AVIDConfig, BankState, avid_forward
+from avid_cma_tpu.criterions.avid_cma import AVIDCMAConfig, CMAState, cma_forward
+from avid_cma_tpu.criterions.mining import mine_positives
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE), reason="reference not mounted"
+)
+
+
+@pytest.fixture()
+def torch_cpu_reference(monkeypatch):
+    """Import reference criterions with .cuda() made a no-op."""
+    import torch
+
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    monkeypatch.setattr(torch.nn.Module, "cuda", lambda self, *a, **k: self)
+    sys.path.insert(0, REFERENCE)
+    try:
+        import importlib
+
+        import criterions.avid as ref_avid
+        import criterions.avid_cma as ref_cma
+
+        importlib.reload(ref_avid)
+        importlib.reload(ref_cma)  # rebind to the reloaded avid classes
+        yield ref_avid, ref_cma
+    finally:
+        sys.path.pop(0)
+
+
+def _setup(N=64, D=16, bs=8, K=12, seed=0):
+    rng = np.random.default_rng(seed)
+    bank_v = rng.normal(size=(N, D)).astype(np.float32)
+    bank_a = rng.normal(size=(N, D)).astype(np.float32)
+    bank_v /= np.linalg.norm(bank_v, axis=1, keepdims=True)
+    bank_a /= np.linalg.norm(bank_a, axis=1, keepdims=True)
+    v_emb = rng.normal(size=(bs, D)).astype(np.float32)
+    a_emb = rng.normal(size=(bs, D)).astype(np.float32)
+    y = rng.choice(N, bs, replace=False).astype(np.int64)
+    neg_idx = np.stack(
+        [rng.choice(np.setdiff1d(np.arange(N), [yi]), K, replace=True) for yi in y]
+    ).astype(np.int64)
+    return bank_v, bank_a, v_emb, a_emb, y, neg_idx
+
+
+def test_avid_loss_and_bank_parity(torch_cpu_reference):
+    import torch
+
+    ref_avid, _ = torch_cpu_reference
+    N, D, bs, K = 64, 16, 8, 12
+    bank_v, bank_a, v_emb, a_emb, y, neg_idx = _setup(N, D, bs, K)
+
+    # --- reference torch side ---
+    crit = ref_avid.AVID(
+        num_data=N, embedding_dim=D, num_negatives=K,
+        momentum=0.5, xModal_coeff=1.0, wModal_coeff=0.0,
+    )
+    with torch.no_grad():
+        crit.nce_average.view1_mem.copy_(torch.from_numpy(bank_v))
+        crit.nce_average.view2_mem.copy_(torch.from_numpy(bank_a))
+    # pin the negative draw to our fixed indices (alias draw is RNG-driven;
+    # sample_negatives then applies the self-avoid shift, so invert it)
+    shift_removed = neg_idx - (neg_idx >= y[:, None])
+    crit.nce_average.sample_negatives = (
+        lambda yy, KK: torch.from_numpy(neg_idx)
+    )
+    tv = torch.from_numpy(v_emb).requires_grad_(True)
+    ta = torch.from_numpy(a_emb).requires_grad_(True)
+    t_loss, t_log = crit(tv, ta, torch.from_numpy(y))
+    t_loss.backward()
+
+    # --- ours ---
+    state = BankState(
+        view1_mem=jnp.asarray(bank_v), view2_mem=jnp.asarray(bank_a),
+        z=jnp.float32(-1.0),
+    )
+    cfg = AVIDConfig(num_data=N, embedding_dim=D, num_negatives=K, momentum=0.5)
+
+    import avid_cma_tpu.criterions.avid as mine
+
+    def fixed_draw(key, yy, KK, NN):
+        return jnp.asarray(neg_idx.astype(np.int32))
+
+    orig = mine.draw_negatives_uniform
+    mine.draw_negatives_uniform = fixed_draw
+    try:
+        def loss_fn(v, a):
+            loss, tb, new_state = avid_forward(
+                state, v, a, jnp.asarray(y.astype(np.int32)), jax.random.key(0), cfg
+            )
+            return loss, (tb, new_state)
+
+        (j_loss, (j_tb, j_state)), (gv, ga) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(jnp.asarray(v_emb), jnp.asarray(a_emb))
+    finally:
+        mine.draw_negatives_uniform = orig
+
+    # loss parity well within 1%
+    np.testing.assert_allclose(float(j_loss), float(t_loss), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(j_tb["Loss/v2a"]), float(t_log["Loss/v2a"]), rtol=1e-4
+    )
+    # frozen-Z parity
+    np.testing.assert_allclose(
+        float(j_state.z), float(crit.criterion.avg_exp_score), rtol=1e-4
+    )
+    # bank EMA update parity
+    np.testing.assert_allclose(
+        np.asarray(j_state.view1_mem),
+        crit.nce_average.view1_mem.detach().numpy(),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_state.view2_mem),
+        crit.nce_average.view2_mem.detach().numpy(),
+        rtol=1e-4, atol=1e-6,
+    )
+    # gradient parity w.r.t. embeddings
+    np.testing.assert_allclose(
+        np.asarray(gv), tv.grad.numpy(), rtol=1e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ga), ta.grad.numpy(), rtol=1e-3, atol=1e-6
+    )
+
+
+def test_cma_mining_parity_with_reference_math(torch_cpu_reference):
+    """Mining agreement/top-k vs the reference CMASampler math run inline
+    (torch mm + topk, criterions/avid_cma.py:52-70) — without its GPU
+    worker pool."""
+    import torch
+
+    N, D, pos_k = 48, 8, 5
+    rng = np.random.default_rng(3)
+    bank_v = rng.normal(size=(N, D)).astype(np.float32)
+    bank_a = rng.normal(size=(N, D)).astype(np.float32)
+    bank_v /= np.linalg.norm(bank_v, axis=1, keepdims=True)
+    bank_a /= np.linalg.norm(bank_a, axis=1, keepdims=True)
+
+    tv, ta = torch.from_numpy(bank_v), torch.from_numpy(bank_a)
+    sim_v = torch.mm(tv, tv.t())
+    sim_a = torch.mm(ta, ta.t())
+    agree = torch.stack([sim_v, sim_a], 0).min(dim=0)[0]
+    _, idx = torch.topk(agree, pos_k + 1, dim=0, sorted=True)
+    ref_pos = np.sort(idx[1:].t().numpy(), axis=1)  # drop self, sort
+
+    ours = np.asarray(
+        mine_positives(jnp.asarray(bank_v), jnp.asarray(bank_a), pos_k,
+                       "consensus", tile=16)
+    )
+    np.testing.assert_array_equal(ours, ref_pos)
+
+
+def test_cma_loss_parity(torch_cpu_reference):
+    import torch
+
+    _, ref_cma = torch_cpu_reference
+    N, D, bs, K, pos_k, K_within = 64, 16, 8, 12, 4, 6
+    bank_v, bank_a, v_emb, a_emb, y, neg_idx = _setup(N, D, bs, K, seed=7)
+
+    crit = ref_cma.AVID_CMA(
+        num_data=N, embedding_dim=D, num_negatives=K,
+        num_negatives_within=K_within, momentum=0.5,
+        xModalInstCoeff=1.0, wModalInstCoeff=0.0,
+        xModalPosCoeff=0.0, wModalPosCoeff=1.0,
+        sampling_args={"type": "consensus", "pos_k": 0},  # skip GPU mining
+        resample_freq=-1,
+    )
+    with torch.no_grad():
+        crit.nce_average.view1_mem.copy_(torch.from_numpy(bank_v))
+        crit.nce_average.view2_mem.copy_(torch.from_numpy(bank_a))
+
+    # mine the positive set with OUR sweep, inject into both sides
+    pos = np.asarray(
+        mine_positives(jnp.asarray(bank_v), jnp.asarray(bank_a), pos_k,
+                       "consensus", tile=16)
+    )
+    crit.nce_average.register_buffer(
+        "positive_set", torch.from_numpy(pos.astype(np.int64))
+    )
+    crit.nce_average.sampling_args = {"type": "consensus", "pos_k": pos_k}
+    crit.nce_average.memory_sampling = lambda yy: (
+        torch.from_numpy(pos[y].astype(np.int64)),
+        torch.from_numpy(neg_idx),
+    )
+
+    t_loss, t_log = crit(
+        torch.from_numpy(v_emb), torch.from_numpy(a_emb), torch.from_numpy(y)
+    )
+
+    state = CMAState(
+        view1_mem=jnp.asarray(bank_v), view2_mem=jnp.asarray(bank_a),
+        z=jnp.float32(-1.0), positive_set=jnp.asarray(pos.astype(np.int32)),
+    )
+    cfg = AVIDCMAConfig(
+        num_data=N, embedding_dim=D, num_negatives=K,
+        num_negatives_within=K_within, momentum=0.5, pos_k=pos_k,
+    )
+
+    import avid_cma_tpu.criterions.avid_cma as mine_cma
+
+    orig = mine_cma.draw_negatives_avoid_sorted
+    mine_cma.draw_negatives_avoid_sorted = (
+        lambda key, ps, KK, NN: jnp.asarray(neg_idx.astype(np.int32))
+    )
+    try:
+        j_loss, j_tb, j_state = cma_forward(
+            state, jnp.asarray(v_emb), jnp.asarray(a_emb),
+            jnp.asarray(y.astype(np.int32)), jax.random.key(0), cfg,
+        )
+    finally:
+        mine_cma.draw_negatives_avoid_sorted = orig
+
+    np.testing.assert_allclose(float(j_loss), float(t_loss), rtol=1e-4)
+    for head in ("inst-v2a", "inst-a2v", "pos-v2v", "pos-a2a"):
+        np.testing.assert_allclose(
+            float(j_tb[f"Loss/{head}"]), float(t_log[f"Loss/{head}"]), rtol=1e-4,
+            err_msg=head,
+        )
+    np.testing.assert_allclose(
+        np.asarray(j_state.view1_mem),
+        crit.nce_average.view1_mem.detach().numpy(),
+        rtol=1e-4, atol=1e-6,
+    )
