@@ -110,16 +110,33 @@ def update_banks(
     y: jnp.ndarray,
     momentum: Tuple[float, float],
     axis_name: Optional[str] = None,
+    bank_sharded: bool = False,
 ) -> BankState:
     """EMA + renorm bank update from globally gathered embeddings
     (reference: criterions/avid.py:103-129). Duplicate indices within the
-    gathered batch resolve by last-write-wins, like torch index_copy_."""
+    gathered batch resolve by last-write-wins, like torch index_copy_.
+
+    With `bank_sharded`, view*_mem are row-shards and each replica
+    scatters only the rows it owns (parallel/sharding.py)."""
     if axis_name is not None:
         video_emb = jax.lax.all_gather(video_emb, axis_name, tiled=True)
         audio_emb = jax.lax.all_gather(audio_emb, axis_name, tiled=True)
         y = jax.lax.all_gather(y, axis_name, tiled=True)
     video_emb = jax.lax.stop_gradient(video_emb)
     audio_emb = jax.lax.stop_gradient(audio_emb)
+
+    if bank_sharded:
+        from avid_cma_tpu.parallel.sharding import ema_update_rows_sharded
+
+        assert axis_name is not None, "sharded banks require a mesh axis"
+        return state.replace(
+            view1_mem=ema_update_rows_sharded(
+                state.view1_mem, y, video_emb, momentum[0], axis_name
+            ),
+            view2_mem=ema_update_rows_sharded(
+                state.view2_mem, y, audio_emb, momentum[1], axis_name
+            ),
+        )
 
     def ema(mem, emb, mom):
         old = mem[y]
@@ -140,11 +157,14 @@ def avid_forward(
     key: jax.Array,
     cfg: AVIDConfig,
     axis_name: Optional[str] = None,
+    bank_sharded: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], BankState]:
     """One criterion step (reference: criterions/avid.py:47-80,202-233).
 
     Returns (total_loss, tb_log, new_state). Differentiable in the
-    embeddings; the bank and Z are constants within the step.
+    embeddings; the bank and Z are constants within the step. With
+    `bank_sharded`, view*_mem are row-shards over `axis_name` and every
+    bank access goes through one-psum sharded gathers.
     """
     xmodal, wmodal = cfg.xModal_coeff > 0, cfg.wModal_coeff > 0
     video_emb = l2_normalize(video_emb)
@@ -153,11 +173,20 @@ def avid_forward(
     bank_v = jax.lax.stop_gradient(state.view1_mem)
     bank_a = jax.lax.stop_gradient(state.view2_mem)
 
-    pos_v = bank_v[y][:, None, :]  # (bs, 1, D)
-    pos_a = bank_a[y][:, None, :]
     neg_idx = draw_negatives_uniform(key, y, cfg.num_negatives, cfg.num_data)
-    neg_v = bank_v[neg_idx]  # (bs, K, D)
-    neg_a = bank_a[neg_idx]
+    if bank_sharded:
+        from avid_cma_tpu.parallel.sharding import gather_rows_sharded
+
+        assert axis_name is not None, "sharded banks require a mesh axis"
+        pos_v = gather_rows_sharded(bank_v, y, axis_name)[:, None, :]
+        pos_a = gather_rows_sharded(bank_a, y, axis_name)[:, None, :]
+        neg_v = gather_rows_sharded(bank_v, neg_idx, axis_name)
+        neg_a = gather_rows_sharded(bank_a, neg_idx, axis_name)
+    else:
+        pos_v = bank_v[y][:, None, :]  # (bs, 1, D)
+        pos_a = bank_a[y][:, None, :]
+        neg_v = bank_v[neg_idx]  # (bs, K, D)
+        neg_a = bank_a[neg_idx]
 
     scores: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
     if xmodal:
@@ -192,6 +221,7 @@ def avid_forward(
     total = xmodal_loss * xc + wmodal_loss * wc
 
     new_state = update_banks(
-        state.replace(z=z), video_emb, audio_emb, y, cfg.momentum, axis_name
+        state.replace(z=z), video_emb, audio_emb, y, cfg.momentum, axis_name,
+        bank_sharded=bank_sharded,
     )
     return total, tb_log, new_state

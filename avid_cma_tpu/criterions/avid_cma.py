@@ -104,8 +104,11 @@ def cma_forward(
     key: jax.Array,
     cfg: AVIDCMAConfig,
     axis_name: Optional[str] = None,
+    bank_sharded: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], CMAState]:
-    """One AVID-CMA criterion step (reference: avid_cma.py:150-194,325-359)."""
+    """One AVID-CMA criterion step (reference: avid_cma.py:150-194,325-359).
+    With `bank_sharded`, banks AND positive_set are row-sharded over
+    `axis_name` (parallel/sharding.py)."""
     x_inst = cfg.xModalInstCoeff > 0
     w_inst = cfg.wModalInstCoeff > 0
     x_pos = cfg.xModalPosCoeff > 0
@@ -117,15 +120,35 @@ def cma_forward(
     bank_v = jax.lax.stop_gradient(state.view1_mem)
     bank_a = jax.lax.stop_gradient(state.view2_mem)
 
-    self_v = bank_v[y][:, None, :]
-    self_a = bank_a[y][:, None, :]
+    if bank_sharded:
+        from avid_cma_tpu.parallel.sharding import (
+            gather_rows_sharded,
+            gather_values_sharded,
+        )
 
-    pos_idx = state.positive_set[y]  # (bs, pos_k), sorted
-    neg_idx = draw_negatives_avoid_sorted(
-        key, pos_idx, cfg.num_negatives, cfg.num_data
-    )
-    pos_v, pos_a = bank_v[pos_idx], bank_a[pos_idx]
-    neg_v, neg_a = bank_v[neg_idx], bank_a[neg_idx]
+        assert axis_name is not None, "sharded banks require a mesh axis"
+        self_v = gather_rows_sharded(bank_v, y, axis_name)[:, None, :]
+        self_a = gather_rows_sharded(bank_a, y, axis_name)[:, None, :]
+        pos_idx = gather_values_sharded(
+            state.positive_set, y, axis_name
+        ).astype(jnp.int32)
+        neg_idx = draw_negatives_avoid_sorted(
+            key, pos_idx, cfg.num_negatives, cfg.num_data
+        )
+        pos_v = gather_rows_sharded(bank_v, pos_idx, axis_name)
+        pos_a = gather_rows_sharded(bank_a, pos_idx, axis_name)
+        neg_v = gather_rows_sharded(bank_v, neg_idx, axis_name)
+        neg_a = gather_rows_sharded(bank_a, neg_idx, axis_name)
+    else:
+        self_v = bank_v[y][:, None, :]
+        self_a = bank_a[y][:, None, :]
+
+        pos_idx = state.positive_set[y]  # (bs, pos_k), sorted
+        neg_idx = draw_negatives_avoid_sorted(
+            key, pos_idx, cfg.num_negatives, cfg.num_data
+        )
+        pos_v, pos_a = bank_v[pos_idx], bank_a[pos_idx]
+        neg_v, neg_a = bank_v[neg_idx], bank_a[neg_idx]
 
     T = cfg.temperature
     scores: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
@@ -171,6 +194,7 @@ def cma_forward(
         tb_log[f"Loss/{name}"] = l
 
     new_state = update_banks(
-        state.replace(z=z), video_emb, audio_emb, y, cfg.momentum, axis_name
+        state.replace(z=z), video_emb, audio_emb, y, cfg.momentum, axis_name,
+        bank_sharded=bank_sharded,
     )
     return total, tb_log, new_state

@@ -67,6 +67,20 @@ def init_train_state(
     )
 
 
+def bank_state_specs(state: TrainState, axis: str, bank_sharded: bool):
+    """Per-leaf PartitionSpecs for a TrainState: everything replicated
+    except (optionally) the bank rows (view*_mem, positive_set)."""
+    sharded_leaves = {"view1_mem", "view2_mem", "positive_set"}
+
+    def spec(path, leaf):
+        names = [getattr(p, "name", getattr(p, "key", "")) for p in path]
+        if bank_sharded and "bank" in names and names[-1] in sharded_leaves:
+            return P(axis) if jnp.ndim(leaf) == 1 else P(axis, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, state)
+
+
 def make_train_step(
     model,
     criterion_cfg: CriterionConfig,
@@ -74,9 +88,16 @@ def make_train_step(
     mesh: Mesh,
     axis: str = DATA_AXIS,
     donate: bool = True,
+    bank_sharding: str = "replicated",  # replicated | sharded
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
-    """Build the jitted train step for a data-sharded batch on `mesh`."""
+    """Build the jitted train step for a data-sharded batch on `mesh`.
+
+    bank_sharding='sharded' keeps the memory banks row-sharded over the
+    mesh (for corpora whose banks exceed one chip's HBM, SURVEY §2.3);
+    bank rows must be pre-padded to a multiple of the mesh size
+    (parallel/sharding.shard_bank)."""
     criterion = criterion_fn(criterion_cfg)
+    bank_sharded = bank_sharding == "sharded"
 
     def local_step(state: TrainState, video, audio, y):
         # per-replica negative draws, like per-process torch RNG
@@ -88,7 +109,8 @@ def make_train_step(
                 variables, video, audio, train=True, mutable=["batch_stats"]
             )
             loss, tb, new_bank = criterion(
-                state.bank, v_emb, a_emb, y, key, criterion_cfg, axis_name=axis
+                state.bank, v_emb, a_emb, y, key, criterion_cfg,
+                axis_name=axis, bank_sharded=bank_sharded,
             )
             return loss, (tb, new_bank, mut["batch_stats"])
 
@@ -111,15 +133,15 @@ def make_train_step(
         )
         return new_state, metrics
 
-    sharded = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P()),
-        check_vma=False,  # bank update provably replicated (all_gathered inputs)
-    )
-
     def step_fn(state: TrainState, batch: Batch):
+        specs = bank_state_specs(state, axis, bank_sharded)
+        sharded = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(specs, P(axis), P(axis), P(axis)),
+            out_specs=(specs, P()),
+            check_vma=False,  # bank update provably replicated/owned-rows
+        )
         return sharded(state, batch["frames"], batch["audio"], batch["index"])
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
