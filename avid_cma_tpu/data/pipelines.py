@@ -31,10 +31,19 @@ class PreprocessConfig:
     audio_clip_duration: float = 2.0
     volume_jitter: float = 0.1
     normalize_spectrogram: bool = True
+    # 'auto': fused Pallas kernel on TPU, XLA path elsewhere
+    spectrogram_backend: str = "auto"  # auto | pallas | xla
 
     @property
     def hop_size(self) -> float:
         return 1.0 / self.spectrogram_fps
+
+    def use_pallas(self) -> bool:
+        if self.spectrogram_backend == "pallas":
+            return True
+        if self.spectrogram_backend == "xla":
+            return False
+        return jax.default_backend() not in ("cpu",)
 
 
 @partial(jax.jit, static_argnames=("cfg", "train"))
@@ -69,12 +78,24 @@ def preprocess_batch(
                 maxval=1.0 + cfg.volume_jitter,
             )
             wav = wav * vol
-        out["audio"] = log_spectrogram(
-            wav,
-            sample_rate=cfg.audio_fps,
-            n_fft=cfg.n_fft,
-            hop_size=cfg.hop_size,
-            duration=cfg.audio_clip_duration,
-            normalize=cfg.normalize_spectrogram,
-        )
+        if cfg.use_pallas():
+            from avid_cma_tpu.ops.pallas.spectrogram import log_spectrogram_pallas
+
+            out["audio"] = log_spectrogram_pallas(
+                wav,
+                sample_rate=cfg.audio_fps,
+                n_fft=cfg.n_fft,
+                hop_size=cfg.hop_size,
+                duration=cfg.audio_clip_duration,
+                normalize=cfg.normalize_spectrogram,
+            )
+        else:
+            out["audio"] = log_spectrogram(
+                wav,
+                sample_rate=cfg.audio_fps,
+                n_fft=cfg.n_fft,
+                hop_size=cfg.hop_size,
+                duration=cfg.audio_clip_duration,
+                normalize=cfg.normalize_spectrogram,
+            )
     return out
