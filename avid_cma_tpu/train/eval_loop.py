@@ -238,10 +238,23 @@ def run_action_recognition(
 
     state = state.replace(opt_state=full_opt.init(state.params))
     train_step = make_supervised_train_step(model, full_opt, mesh)
-    state = _train_epochs(
-        state, train_step, train_loader, pp_cfg, num_epochs, logger,
-        phase="finetune", debug=debug,
-    )
+
+    # checkpoint/resume/test_only (reference: eval CheckpointManager,
+    # utils/eval_utils.py:145-190; --test-only/--resume paths
+    # eval-action-recg.py:33-36,66-68)
+    ckpt = CheckpointManager(os.path.join(eval_dir, "orbax"))
+    if (eval_cfg.get("resume") or eval_cfg.get("test_only")) and (
+        ckpt.latest_step() is not None
+    ):
+        state = ckpt.restore(state)
+        logger.add_line(f"restored eval checkpoint @ step {int(state.step)}")
+
+    if not eval_cfg.get("test_only"):
+        state = _train_epochs(
+            state, train_step, train_loader, pp_cfg, num_epochs, logger,
+            phase="finetune", debug=debug,
+        )
+        ckpt.save(int(state.step), state, force=True)
 
     logits_fn = make_logits_fn(model, mesh)
     clip_top1, clip_top5 = _clip_eval(state, logits_fn, test_loader, pp_cfg)
@@ -377,6 +390,18 @@ def run_linear_probe(
     )
     step_fn = make_supervised_train_step(model, optimizer, mesh, multi_output=True)
 
+    # probe checkpointing (reference: MOSTCheckpointManager classifier-only
+    # saves, utils/eval_utils.py:245-295; orbax saves the full state here —
+    # a superset that also restores BN stats exactly)
+    ckpt = CheckpointManager(os.path.join(eval_dir, "orbax"))
+    if (eval_cfg.get("resume") or eval_cfg.get("test_only")) and (
+        ckpt.latest_step() is not None
+    ):
+        state = ckpt.restore(state)
+        logger.add_line(f"restored probe checkpoint @ step {int(state.step)}")
+    if eval_cfg.get("test_only"):
+        num_epochs = 0
+
     for epoch in range(num_epochs):
         train_loader.set_epoch(epoch)
         loss_m = AverageMeter("Loss", ":.4e")
@@ -392,6 +417,9 @@ def run_linear_probe(
                 progress.display(it)
             if debug and it >= 2:
                 break
+
+    if not eval_cfg.get("test_only"):
+        ckpt.save(max(int(state.step), 1), state, force=True)
 
     # per-tap clip eval
     logits_fn = make_logits_fn(model, mesh)

@@ -146,12 +146,17 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
             logger=logger,
         )
 
+        save_freq_steps = int(cfg.get("save_freq_steps", 0))
         t0 = time.time()
         for it, batch in enumerate(loader):
             meters["data_t"].update(time.time() - t0)
             key = jax.random.fold_in(jax.random.key(seed + 1), int(state.step))
             batch = preprocess_batch(key, batch, pp_cfg, train=True)
             state, metrics = train_step(state, batch)
+            # preemption-safe mid-epoch checkpointing (TPU preemption is
+            # routine; the reference only saves per epoch, SURVEY §5)
+            if save_freq_steps and int(state.step) % save_freq_steps == 0:
+                ckpt.save(int(state.step), state)
             if it % print_freq == 0 or it == len(loader) - 1:
                 loss = float(metrics["loss"])  # sync point
                 meters["loss"].update(loss, n=batch["index"].shape[0])

@@ -1,0 +1,64 @@
+"""Host transform library invariants (reference: utils/videotransforms/)."""
+
+import numpy as np
+
+from avid_cma_tpu.data import host_transforms as ht
+
+
+def _clip(t=4, h=48, w=64):
+    rng = np.random.default_rng(0)
+    return rng.integers(0, 255, (t, h, w, 3), dtype=np.uint8)
+
+
+def test_resize_short_side():
+    out = ht.Resize(32)(_clip())
+    assert out.shape == (4, 32, 43, 3)  # short side 48 -> 32, round(64*32/48)=43
+    out = ht.Resize((20, 30))(_clip())
+    assert out.shape == (4, 20, 30, 3)
+
+
+def test_center_and_random_crop():
+    assert ht.CenterCrop(32)(_clip()).shape == (4, 32, 32, 3)
+    assert ht.RandomCrop((16, 24))(_clip()).shape == (4, 16, 24, 3)
+
+
+def test_random_resized_crop_clip_consistent():
+    out = ht.RandomResizedCrop(24)(_clip())
+    assert out.shape == (4, 24, 24, 3)
+
+
+def test_flip_and_gray():
+    clip = _clip()
+    flipped = ht.RandomHorizontalFlip(p=1.0)(clip)
+    np.testing.assert_array_equal(flipped, clip[:, :, ::-1])
+    gray = ht.RandomGray(p=1.0)(clip)
+    assert np.allclose(gray[..., 0], gray[..., 1])
+
+
+def test_color_jitter_ranges():
+    out = ht.ColorJitter(0.4, 0.4, 0.4, 0.2)(_clip())
+    assert out.dtype == np.uint8 and out.min() >= 0 and out.max() <= 255
+
+
+def test_ten_crop():
+    out = ht.TenCrop(16)(_clip())
+    assert out.shape == (10, 4, 16, 16, 3)
+
+
+def test_temporal_crops_and_padding():
+    clip = _clip(t=10)
+    assert ht.TemporalCenterCrop(4)(clip).shape[0] == 4
+    assert ht.TemporalJitter(4, max_shift=3)(clip).shape[0] == 4
+    # pad-by-looping when the clip is short (preprocessing.py:53-59)
+    padded = ht.pad_missing_frames(clip[:3], 8)
+    assert padded.shape[0] == 8
+    np.testing.assert_array_equal(padded[3], clip[0])
+
+
+def test_full_msc_cj_pipeline():
+    fn = ht.video_prep_msc_cj(crop=32, augment=True, num_frames=6)
+    out = fn(_clip())
+    assert out.shape == (6, 32, 32, 3) and out.dtype == np.float32
+    fn_eval = ht.video_prep_msc_cj(crop=32, augment=False)
+    out = fn_eval(_clip())
+    assert out.shape == (4, 32, 32, 3)
