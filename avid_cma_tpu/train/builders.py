@@ -27,6 +27,17 @@ def build_model(model_cfg: Config, dtype=None):
     return MODELS.get(model_cfg["arch"])(**args, dtype=dtype)
 
 
+def model_out_dim(model_cfg: Config) -> int:
+    """Embedding dim implied by the model config (reference injects
+    model.module.out_dim into the loss args, main-avid.py:100)."""
+    proj = model_cfg.get("args", {}).get("proj_dim", 128)
+    if proj is None:
+        return 512  # backbone out_dim without projection heads
+    if isinstance(proj, (list, tuple)):
+        return int(proj[-1])
+    return int(proj)
+
+
 def build_criterion_config(loss_cfg: Config, embedding_dim: int = 128):
     """reference: utils/main_utils.py:231-237 + main-avid.py:100-101
     (embedding_dim injected from model.out_dim). Returns the criterion

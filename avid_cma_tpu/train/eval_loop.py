@@ -437,5 +437,39 @@ def run_linear_probe(
         logits = np.concatenate(per_tap_logits[ft])
         top1, top5 = accuracy(logits, labels, (1, 5))
         results[ft] = {"clip@1": top1, "clip@5": top5}
+
+    # dense video eval: per-tap softmax-mean over uniformly spaced chunks
+    # (reference protocol for the Kinetics linear Video@1 numbers,
+    # eval-action-recg-linear.py final dense pass + BatchWrapper)
+    if "test_dense" in db:
+        dense_ds = builders.build_dataset(
+            db, db.test_dense, mode="video", return_audio=False,
+            return_labels=True, fold=fold,
+        )
+        n_videos = len(dense_ds) if not debug else min(4, len(dense_ds))
+        tap_scores = {ft: [] for ft in model.feat_names}
+        dense_labels = []
+        batch_clips = int(db["batch_size"])
+        for vi in range(n_videos):
+            sample = dense_ds[vi]
+            frames = sample["frames"]
+            probs = {ft: [] for ft in model.feat_names}
+            for s in range(0, frames.shape[0], batch_clips):
+                f = _preprocess_frames(
+                    {"frames": frames[s : s + batch_clips]}, pp_cfg,
+                    jax.random.key(0), train=False,
+                )
+                out = logits_fn(state.params, state.batch_stats, f)
+                for ft in model.feat_names:
+                    probs[ft].append(jax.nn.softmax(np.asarray(out[ft]), axis=-1))
+            for ft in model.feat_names:
+                tap_scores[ft].append(np.concatenate(probs[ft]).mean(axis=0))
+            dense_labels.append(sample["label"])
+        dl = np.asarray(dense_labels)
+        for ft in model.feat_names:
+            top1, top5 = accuracy(np.stack(tap_scores[ft]), dl, (1, 5))
+            results[ft]["video@1"] = top1
+            results[ft]["video@5"] = top5
+
     logger.add_line(f"RESULTS {results}")
     return results

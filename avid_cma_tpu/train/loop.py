@@ -39,7 +39,11 @@ from avid_cma_tpu.train.checkpoint import (
 )
 from avid_cma_tpu.train.optim import build_from_config
 from avid_cma_tpu.train.state import TrainState
-from avid_cma_tpu.train.step import init_train_state, make_train_step
+from avid_cma_tpu.train.step import (
+    init_train_state,
+    make_eval_loss_step,
+    make_train_step,
+)
 from avid_cma_tpu.utils.logger import (
     AverageMeter,
     Logger,
@@ -74,13 +78,26 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
         num_shards=jax.process_count(), shard_index=jax.process_index(),
         seed=seed,
     )
+    test_loader = None
+    if not cfg.get("no_test", False) and "test" in db_cfg:
+        try:
+            test_ds = builders.build_dataset(db_cfg, db_cfg.test, mode="clip")
+            test_loader = builders.build_dataloader(
+                test_ds, db_cfg, db_cfg.test, num_workers=num_workers,
+                num_shards=jax.process_count(),
+                shard_index=jax.process_index(), seed=seed,
+            )
+        except FileNotFoundError:
+            logger.add_line("no test split available; skipping test phases")
     pp_cfg = builders.build_preprocess_config(db_cfg)
     logger.add_line(f"train dataset: {train_ds.name} n={train_ds.num_samples} "
                     f"batches/epoch={len(loader)}")
 
     # --- model / criterion / optimizer -----------------------------------
     model = build_model_with_warmstart(cfg.model, logger)
-    crit_cfg = builders.build_criterion_config(cfg.loss, embedding_dim=128)
+    crit_cfg = builders.build_criterion_config(
+        cfg.loss, embedding_dim=builders.model_out_dim(cfg.model)
+    )
     if crit_cfg.num_data != train_ds.num_samples:
         logger.add_line(
             f"note: loss.num_data={crit_cfg.num_data} != dataset size "
@@ -117,6 +134,8 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
         logger.add_line(f"resumed from step {int(state.step)}")
 
     train_step = make_train_step(model, crit_cfg, optimizer, mesh)
+    eval_step = None
+    optimizer_mesh = mesh
 
     # --- epoch loop --------------------------------------------------------
     start_epoch = int(state.epoch)
@@ -172,6 +191,27 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
         state = state.replace(epoch=jnp.int32(epoch + 1))
         ckpt.save(int(state.step), state, force=(epoch + 1) in milestones)
         logger.add_line(f"epoch {epoch} done; checkpoint @ step {int(state.step)}")
+
+        # held-out criterion loss (reference: run_phase 'test' every
+        # test_freq epochs, main-avid.py:132-136)
+        test_freq = int(cfg.get("test_freq", 1))
+        if test_loader is not None and (epoch % max(test_freq, 1) == 0):
+            if eval_step is None:
+                eval_step = make_eval_loss_step(model, crit_cfg, optimizer_mesh)
+            test_loader.set_epoch(epoch)
+            losses = []
+            for it, batch in enumerate(test_loader):
+                batch = preprocess_batch(
+                    jax.random.key(seed + 3), batch, pp_cfg, train=False
+                )
+                m = eval_step(state, batch)
+                losses.append(float(m["loss"]))
+                if debug and it >= 1:
+                    break
+            if losses:
+                test_loss = sum(losses) / len(losses)
+                logger.add_line(f"test[{epoch}] loss {test_loss:.4e}")
+                tb.add_scalar("test/loss", test_loss, int(state.step))
 
     return state
 

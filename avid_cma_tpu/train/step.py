@@ -147,6 +147,46 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_eval_loss_step(
+    model,
+    criterion_cfg: CriterionConfig,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    bank_sharding: str = "replicated",
+) -> Callable[[TrainState, Batch], Dict[str, jnp.ndarray]]:
+    """Criterion loss on a held-out batch WITHOUT updating params or banks
+    (pretrain test phase, main-avid.py run_phase 'test'). Deliberate
+    divergence: the reference's criterion forward mutates the banks even
+    in test phases (criterions/avid.py:78) — evaluating on val data would
+    corrupt the train banks, so we drop the update here."""
+    criterion = criterion_fn(criterion_cfg)
+    bank_sharded = bank_sharding == "sharded"
+
+    def local(state: TrainState, video, audio, y):
+        key = jax.random.fold_in(
+            jax.random.fold_in(state.rng, 1_000_003 + state.step),
+            jax.lax.axis_index(axis),
+        )
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        v_emb, a_emb = model.apply(variables, video, audio, train=False)
+        loss, tb, _ = criterion(
+            state.bank, v_emb, a_emb, y, key, criterion_cfg,
+            axis_name=axis, bank_sharded=bank_sharded,
+        )
+        return jax.lax.pmean({**tb, "loss": loss}, axis)
+
+    def step_fn(state: TrainState, batch: Batch):
+        specs = bank_state_specs(state, axis, bank_sharded)
+        sharded = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(specs, P(axis), P(axis), P(axis)), out_specs=P(),
+            check_vma=False,
+        )
+        return sharded(state, batch["frames"], batch["audio"], batch["index"])
+
+    return jax.jit(step_fn)
+
+
 def make_embed_fn(model, mesh: Mesh, axis: str = DATA_AXIS) -> Callable:
     """Jitted inference embeddings (no state mutation), data-sharded."""
 

@@ -1,0 +1,82 @@
+"""Integration smoke tests for the orchestration loops on the CPU mesh
+(reference flows: main-avid.py, eval-action-recg.py, eval-action-recg-
+linear.py) — synthetic data end to end, incl. test phase and resume."""
+
+import jax
+import numpy as np
+import pytest
+
+from avid_cma_tpu.config import from_dict
+
+
+def pretrain_cfg(tmp_path, loss_name="AVID"):
+    loss_args = {
+        "num_data": 16, "num_negatives": 8, "momentum": 0.5,
+        "xModal_coeff": 1.0, "wModal_coeff": 0.0,
+    }
+    if loss_name == "AVID_CMA":
+        loss_args = {
+            "num_data": 16, "num_negatives": 8, "momentum": 0.5,
+            "num_negatives_within": 4,
+            "xModalInstCoeff": 1.0, "wModalInstCoeff": 0.0,
+            "xModalPosCoeff": 0.0, "wModalPosCoeff": 1.0,
+            "resample_freq": 1,
+            "sampling_args": {"type": "consensus", "pos_k": 2},
+        }
+    return from_dict({
+        "seed": 0, "num_workers": 1, "print_freq": 1, "log2tb": False,
+        "resume": False, "test_freq": 1,
+        "dataset": {
+            "name": "kinetics", "backend": "synthetic", "synthetic_size": 16,
+            "batch_size": 8, "video_clip_duration": 0.25, "video_fps": 8.0,
+            "crop_size": 32, "audio_clip_duration": 0.5, "audio_fps": 24000,
+            "spectrogram_fps": 100.0, "n_fft": 512,
+            "train": {"split": "train", "use_augmentation": True,
+                      "drop_last": True, "clips_per_video": 1},
+            "test": {"split": "val", "use_augmentation": False,
+                     "drop_last": True, "clips_per_video": 1},
+        },
+        "optimizer": {
+            "name": "adam", "weight_decay": 1e-5, "num_epochs": 1,
+            "lr": {"name": "multistep", "base_lr": 2e-4, "gamma": 1.0,
+                   "milestones": [1]},
+        },
+        "model": {
+            "name": "smoke", "model_dir": str(tmp_path),
+            "arch": "av_wrapper",
+            "args": {"proj_dim": [64, 32],
+                     "video_backbone": "R2Plus1D",
+                     "video_backbone_args": {"depth": 10},
+                     "audio_backbone": "Conv2D",
+                     "audio_backbone_args": {"depth": 10}},
+        },
+        "loss": {"name": loss_name, "args": loss_args},
+    })
+
+
+def test_run_pretraining_avid_with_test_phase_and_resume(tmp_path):
+    from avid_cma_tpu.train.loop import run_pretraining
+
+    cfg = pretrain_cfg(tmp_path)
+    state = run_pretraining(cfg, debug=True)
+    assert int(state.step) >= 2
+    assert float(state.bank.z) > 0
+
+    # resume from the saved checkpoint: no retraining of done epochs
+    cfg2 = pretrain_cfg(tmp_path)
+    cfg2["resume"] = True
+    state2 = run_pretraining(cfg2, debug=True)
+    assert int(state2.step) == int(state.step)  # epochs already complete
+    np.testing.assert_allclose(
+        np.asarray(state2.bank.view1_mem), np.asarray(state.bank.view1_mem),
+        rtol=1e-6,
+    )
+
+
+def test_run_pretraining_cma_resamples(tmp_path):
+    from avid_cma_tpu.train.loop import run_pretraining
+
+    cfg = pretrain_cfg(tmp_path, loss_name="AVID_CMA")
+    state = run_pretraining(cfg, debug=True)
+    assert state.bank.positive_set.shape == (16, 2)
+    assert np.isfinite(float(state.bank.z))
