@@ -151,24 +151,34 @@ class PyAVBackend(DecodeBackend):
     def load_audio(self, path, start, duration, sample_rate) -> np.ndarray:
         av = self._av
         n_target = int(duration * sample_rate)
+        first_pts = None
         with av.open(path) as container:
             stream = container.streams.audio[0]
             resampler = av.AudioResampler(format="s16", layout="mono", rate=sample_rate)
             container.seek(int(start / stream.time_base), stream=stream)
             chunks = []
             total = 0
+            # seeking lands at-or-before `start`; record where decode
+            # actually began so the window can be trimmed to `start`
+            # (reference: av_wrappers.py:100-108)
+            skip = 0
             for frame in container.decode(audio=0):
+                if first_pts is None and frame.pts is not None:
+                    first_t = float(frame.pts * stream.time_base)
+                    first_pts = first_t
+                    skip = max(0, int(round((start - first_t) * sample_rate)))
                 out = resampler.resample(frame)
                 out = out if isinstance(out, list) else [out]
                 for o in out:
                     arr = o.to_ndarray().reshape(-1)
                     chunks.append(arr)
                     total += arr.size
-                if total >= n_target * 2:
+                if total >= skip + n_target + sample_rate // 10:
                     break
         sig = (
             np.concatenate(chunks) if chunks else np.zeros(n_target, np.int16)
         ).astype(np.float32) / 32768.0
+        sig = sig[skip:]
         if sig.size > n_target:
             sig = sig[:n_target]
         elif sig.size < n_target:

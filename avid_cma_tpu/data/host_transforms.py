@@ -140,7 +140,7 @@ class ColorJitter:
         ops = []
         if self.b > 0:
             f = random.uniform(max(0, 1 - self.b), 1 + self.b)
-            ops.append(lambda im: np.clip(im * f, 0, 1))
+            ops.append(lambda im, f=f: np.clip(im * f, 0, 1))
         if self.c > 0:
             f = random.uniform(max(0, 1 - self.c), 1 + self.c)
 

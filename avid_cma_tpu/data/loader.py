@@ -114,16 +114,30 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checked(item) -> bool:
+            """Bounded put that aborts when the consumer is gone — an
+            abandoned iterator must not leave workers blocked forever
+            holding full batches."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce(worker_id: int):
             for bi in range(worker_id, len(batches), self.num_workers):
                 if stop.is_set():
                     return
                 try:
                     batch = _collate([self.dataset[i] for i in batches[bi]])
-                    out_q.put((bi, batch))
+                    if not put_checked((bi, batch)):
+                        return
                 except Exception as e:  # surface errors to the consumer
-                    out_q.put((bi, e))
-            out_q.put((None, worker_id))
+                    if not put_checked((bi, e)):
+                        return
+            put_checked((None, worker_id))
 
         workers = [
             threading.Thread(target=produce, args=(w,), daemon=True)
@@ -154,5 +168,11 @@ class DataLoader:
                 next_bi += 1
         finally:
             stop.set()
+            # drain so any worker blocked in put() can observe stop
+            try:
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass
             for w in workers:
-                w.join(timeout=0.1)
+                w.join(timeout=1.0)

@@ -303,3 +303,11 @@ class CheckpointManager:
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(state_template)
         )
+
+    def restore_raw(self, step: Optional[int] = None):
+        """Restore without a template (raw nested dict) — for extracting
+        sub-trees like a pretrained backbone's params."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None
+        return self._mgr.restore(step)

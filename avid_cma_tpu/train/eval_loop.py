@@ -110,16 +110,35 @@ def make_supervised_train_step(
 
 
 def make_logits_fn(model, mesh: Mesh, axis: str = DATA_AXIS):
+    """Inference logits, data-sharded. Pads ragged batches up to a mesh
+    multiple (test loaders use drop_last=False) and trims the output."""
+
     def local(params, batch_stats, frames):
         return model.apply(
             {"params": params, "batch_stats": batch_stats}, frames, train=False
         )
 
-    sharded = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(), P(), P(axis)), out_specs=P(axis),
+    n_dev = mesh.size
+    sharded = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(axis)), out_specs=P(axis),
+        )
     )
-    return jax.jit(sharded)
+
+    def fn(params, batch_stats, frames):
+        n = frames.shape[0]
+        pad = (-n) % n_dev
+        if pad:
+            frames = jnp.concatenate(
+                [frames, jnp.repeat(frames[-1:], pad, axis=0)], axis=0
+            )
+        out = sharded(params, batch_stats, frames)
+        if isinstance(out, dict):
+            return {k: v[:n] for k, v in out.items()}
+        return out[:n]
+
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -128,21 +147,30 @@ def make_logits_fn(model, mesh: Mesh, axis: str = DATA_AXIS):
 
 def _load_backbone(model_cfg: Config, which: str = "video_model"):
     """Pretrained backbone + its imported variables
-    (reference: utils/eval_utils.py:332-344)."""
+    (reference: utils/eval_utils.py:332-344). Looks for a reference-format
+    .pth.tar first, then for this framework's own orbax pretrain
+    checkpoints (run_pretraining output)."""
     from avid_cma_tpu.registry import MODELS
 
     args = model_cfg["args"]
     backbone = MODELS.get(args["video_backbone"])(**dict(args["video_backbone_args"]))
-    ckpt_path = os.path.join(
-        model_cfg["model_dir"], model_cfg["name"], "checkpoint.pth.tar"
-    )
+    base = os.path.join(model_cfg["model_dir"], model_cfg["name"])
     variables = None
-    if os.path.isfile(ckpt_path):
-        full = import_model_pth_tar(ckpt_path)
+
+    pth = os.path.join(base, "checkpoint.pth.tar")
+    orbax_dir = os.path.join(base, "orbax")
+    if os.path.isfile(pth):
+        full = import_model_pth_tar(pth)
         variables = {
             "params": full["params"][which],
             "batch_stats": full.get("batch_stats", {}).get(which, {}),
         }
+    elif os.path.isdir(orbax_dir):
+        raw = CheckpointManager(orbax_dir).restore_raw()
+        if raw is not None:
+            params = raw["params"][which]
+            stats = (raw.get("batch_stats") or {}).get(which, {})
+            variables = {"params": params, "batch_stats": stats}
     return backbone, variables
 
 
@@ -225,14 +253,16 @@ def run_action_recognition(
     )
 
     if opt_cfg.get("warmup_classifier"):
-        # classifier-only phase (reference: eval-action-recg.py:74-84).
+        # classifier-only phase (reference: eval-action-recg.py:74-84,
+        # warmup_epochs defaulting to 5).
         # NOTE: steps donate their input state, so the finetune state must
         # be derived from the warmup OUTPUT, never from pre-warmup buffers.
+        warmup_epochs = 1 if debug else int(opt_cfg.get("warmup_epochs", 5))
         warm_opt = optax.masked(full_opt, classifier_only_mask(params))
         state = state.replace(opt_state=warm_opt.init(state.params))
         warm_step = make_supervised_train_step(model, warm_opt, mesh)
         state = _train_epochs(
-            state, warm_step, train_loader, pp_cfg, 1,
+            state, warm_step, train_loader, pp_cfg, warmup_epochs,
             logger, phase="warmup", debug=debug,
         )
 
@@ -255,6 +285,17 @@ def run_action_recognition(
             phase="finetune", debug=debug,
         )
         ckpt.save(int(state.step), state, force=True)
+
+    # final clip eval at 25 clips/video (reference rebuilds the loaders
+    # with clips_per_video=25 before the last test, eval-action-recg.py:102)
+    final_test_cfg = Config(dict(db.test))
+    final_test_cfg["clips_per_video"] = 5 if debug else 25
+    final_test_ds = builders.build_dataset(
+        db, final_test_cfg, return_audio=False, return_labels=True, fold=fold
+    )
+    test_loader = builders.build_dataloader(
+        final_test_ds, db, final_test_cfg, workers
+    )
 
     logits_fn = make_logits_fn(model, mesh)
     clip_top1, clip_top5 = _clip_eval(state, logits_fn, test_loader, pp_cfg)

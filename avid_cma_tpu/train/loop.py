@@ -126,10 +126,15 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
             batch_stats=variables.get("batch_stats", state.batch_stats),
         )
         logger.add_line(f"warm-started model from {model_ck}")
-    state = state.replace(bank=_init_bank(cfg.loss, crit_cfg, mesh, seed, logger))
-
     ckpt = CheckpointManager(os.path.join(model_dir, "orbax"))
-    if cfg.get("resume") and ckpt.latest_step() is not None:
+    resuming = bool(cfg.get("resume")) and ckpt.latest_step() is not None
+    # when resuming, the O(N^2 D) CMA mining sweep would be thrown away by
+    # the restore — only the bank pytree SHAPE is needed as a template
+    state = state.replace(
+        bank=_init_bank(cfg.loss, crit_cfg, mesh, seed, logger,
+                        template_only=resuming)
+    )
+    if resuming:
         state = ckpt.restore(state)
         logger.add_line(f"resumed from step {int(state.step)}")
 
@@ -166,23 +171,28 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
         )
 
         save_freq_steps = int(cfg.get("save_freq_steps", 0))
+        # host-side mirror of state.step: reading int(state.step) would
+        # force a device sync every iteration, serializing host batch prep
+        # against device compute
+        host_step = int(state.step)
         t0 = time.time()
         for it, batch in enumerate(loader):
             meters["data_t"].update(time.time() - t0)
-            key = jax.random.fold_in(jax.random.key(seed + 1), int(state.step))
+            key = jax.random.fold_in(jax.random.key(seed + 1), host_step)
             batch = preprocess_batch(key, batch, pp_cfg, train=True)
             state, metrics = train_step(state, batch)
+            host_step += 1
             # preemption-safe mid-epoch checkpointing (TPU preemption is
             # routine; the reference only saves per epoch, SURVEY §5)
-            if save_freq_steps and int(state.step) % save_freq_steps == 0:
-                ckpt.save(int(state.step), state)
+            if save_freq_steps and host_step % save_freq_steps == 0:
+                ckpt.save(host_step, state)
             if it % print_freq == 0 or it == len(loader) - 1:
                 loss = float(metrics["loss"])  # sync point
                 meters["loss"].update(loss, n=batch["index"].shape[0])
                 meters["batch_t"].update(time.time() - t0)
                 progress.display(it)
                 tb.add_scalars(
-                    {k: float(v) for k, v in metrics.items()}, int(state.step)
+                    {k: float(v) for k, v in metrics.items()}, host_step
                 )
             else:
                 meters["batch_t"].update(time.time() - t0)
@@ -204,7 +214,7 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
                 batch = preprocess_batch(
                     jax.random.key(seed + 3), batch, pp_cfg, train=False
                 )
-                m = eval_step(state, batch)
+                m = eval_step(state, batch, it)
                 losses.append(float(m["loss"]))
                 if debug and it >= 1:
                     break
@@ -224,12 +234,20 @@ def build_model_with_warmstart(model_cfg: Config, logger: Optional[Logger] = Non
     return model
 
 
-def _init_bank(loss_cfg: Config, crit_cfg, mesh, seed: int, logger: Logger):
+def _init_bank(loss_cfg: Config, crit_cfg, mesh, seed: int, logger: Logger,
+               template_only: bool = False):
     """AVID: fresh banks. AVID-CMA: banks+Z restored from the AVID
     checkpoint (criterions/avid_cma.py:308-319), then the positive set is
-    mined before training (avid_cma.py:320-321)."""
+    mined before training (avid_cma.py:320-321).
+
+    `template_only`: an orbax restore will overwrite the values — build
+    the right SHAPES without running the O(N^2 D) mining sweep."""
     ck = loss_cfg.get("args", {}).get("checkpoint")
-    if ck and os.path.isfile(ck):
+    if template_only:
+        bank = init_bank_state(
+            jax.random.key(0), crit_cfg.num_data, crit_cfg.embedding_dim
+        )
+    elif ck and os.path.isfile(ck):
         bank = import_criterion_pth_tar(ck)
         logger.add_line(f"restored banks from {ck} (z={float(bank.z):.4f})")
     else:
@@ -239,6 +257,9 @@ def _init_bank(loss_cfg: Config, crit_cfg, mesh, seed: int, logger: Logger):
         if isinstance(crit_cfg, AVIDCMAConfig) and ck:
             logger.add_line(f"warning: CMA checkpoint {ck} missing; random banks")
     if isinstance(crit_cfg, AVIDCMAConfig):
+        if template_only:
+            pos = jnp.zeros((crit_cfg.num_data, crit_cfg.pos_k), jnp.int32)
+            return cma_state_from_bank(bank, pos)
         logger.add_line(
             f"mining CMA positives: N={crit_cfg.num_data} pos_k={crit_cfg.pos_k} "
             f"type={crit_cfg.sampling_type}"

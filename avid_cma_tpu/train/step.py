@@ -162,9 +162,12 @@ def make_eval_loss_step(
     criterion = criterion_fn(criterion_cfg)
     bank_sharded = bank_sharding == "sharded"
 
-    def local(state: TrainState, video, audio, y):
+    def local(state: TrainState, video, audio, y, batch_idx):
+        # fold a per-batch counter: state never changes during a test
+        # phase, so without it every val batch would draw the same
+        # negatives
         key = jax.random.fold_in(
-            jax.random.fold_in(state.rng, 1_000_003 + state.step),
+            jax.random.fold_in(state.rng, 1_000_003 + batch_idx[0]),
             jax.lax.axis_index(axis),
         )
         variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -175,14 +178,17 @@ def make_eval_loss_step(
         )
         return jax.lax.pmean({**tb, "loss": loss}, axis)
 
-    def step_fn(state: TrainState, batch: Batch):
+    def step_fn(state: TrainState, batch: Batch, batch_idx: int = 0):
         specs = bank_state_specs(state, axis, bank_sharded)
         sharded = jax.shard_map(
             local, mesh=mesh,
-            in_specs=(specs, P(axis), P(axis), P(axis)), out_specs=P(),
+            in_specs=(specs, P(axis), P(axis), P(axis), P()), out_specs=P(),
             check_vma=False,
         )
-        return sharded(state, batch["frames"], batch["audio"], batch["index"])
+        return sharded(
+            state, batch["frames"], batch["audio"], batch["index"],
+            jnp.asarray([batch_idx], jnp.int32),
+        )
 
     return jax.jit(step_fn)
 
