@@ -176,3 +176,116 @@ class DataLoader:
                 pass
             for w in workers:
                 w.join(timeout=1.0)
+
+
+class MultiprocessDataLoader:
+    """Process-based loader over the native C++ shared-memory ring
+    (avid_cma_tpu/native): producer processes decode + collate and memcpy
+    raw batch bytes into fixed shm slots; the consumer maps the same
+    pages — no pickling, no pipe syscalls per element. This is the
+    native-runtime replacement for torch DataLoader worker IPC
+    (reference: utils/main_utils.py:214-228).
+
+    Requires a fork-capable platform and the native toolchain
+    (native.available()); use the threaded DataLoader otherwise.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 2,
+        slot_mb: int = 256,
+        n_slots: int = 4,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        seed: int = 0,
+    ):
+        from avid_cma_tpu import native
+
+        if not native.available():
+            raise RuntimeError("native shm ring unavailable")
+        self._native = native
+        self.dataset = dataset
+        self.num_workers = max(1, num_workers)
+        self.slot_bytes = slot_mb << 20
+        self.n_slots = n_slots
+        self.sampler = ShardedBatchSampler(
+            len(dataset), batch_size, shuffle, drop_last, num_shards,
+            shard_index, seed,
+        )
+
+    def set_epoch(self, epoch: int) -> None:
+        self.sampler.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        import os
+
+        batches = list(self.sampler)
+        name = f"/avid_ring_{os.getpid()}_{id(self) & 0xFFFF}"
+        ring = self._native.ShmRing(
+            name, n_slots=self.n_slots, slot_bytes=self.slot_bytes
+        )
+        pids = []
+        try:
+            for w in range(self.num_workers):
+                pid = os.fork()
+                if pid == 0:  # child producer
+                    code = 0
+                    try:
+                        child = self._native.ShmRing(name, create=False)
+                        for bi in range(w, len(batches), self.num_workers):
+                            batch = _collate(
+                                [self.dataset[i] for i in batches[bi]]
+                            )
+                            batch["__batch_index__"] = np.int64(bi)
+                            child.push_batch(batch, timeout_ms=60_000)
+                    except Exception:
+                        code = 1
+                    os._exit(code)
+                pids.append(pid)
+
+            def reap_failed() -> None:
+                for i, pid in enumerate(pids):
+                    if pid == 0:
+                        continue
+                    done, status = os.waitpid(pid, os.WNOHANG)
+                    if done:
+                        pids[i] = 0
+                        if os.waitstatus_to_exitcode(status) != 0:
+                            raise RuntimeError(
+                                "loader producer process failed (batch too "
+                                "large for slot_mb, or dataset error)"
+                            )
+
+            pending: Dict[int, Dict[str, np.ndarray]] = {}
+            for next_bi in range(len(batches)):
+                while next_bi not in pending:
+                    try:
+                        batch = ring.pop_batch(timeout_ms=2_000)
+                    except TimeoutError:
+                        reap_failed()  # raises if a producer died
+                        continue
+                    if batch is None:
+                        raise RuntimeError("ring closed before completion")
+                    bi = int(batch.pop("__batch_index__"))
+                    pending[bi] = batch
+                yield pending.pop(next_bi)
+        finally:
+            for pid in pids:
+                if pid <= 0:  # already reaped; os.kill(0, ...) would
+                    continue  # signal the whole process group
+                try:
+                    os.kill(pid, 9)
+                except (ProcessLookupError, PermissionError):
+                    pass
+                try:
+                    os.waitpid(pid, 0)
+                except ChildProcessError:
+                    pass
+            ring.free()

@@ -6,7 +6,7 @@ import jax
 import numpy as np
 import pytest
 
-from avid_cma_tpu.data import (
+from avid_cma_tpu.data import (  # noqa: F401
     DataLoader,
     Kinetics,
     PreprocessConfig,

@@ -79,3 +79,20 @@ def test_cross_process_batches():
         assert got == [0, 1, 2, 3, 4]
     finally:
         ring.free()
+
+
+def test_multiprocess_loader_over_ring():
+    from avid_cma_tpu.data.loader import MultiprocessDataLoader
+    from tests.test_data import make_ds
+
+    ds = make_ds(mode="clip")
+    dl = MultiprocessDataLoader(
+        ds, batch_size=2, shuffle=False, num_workers=2, slot_mb=8
+    )
+    batches = list(dl)
+    assert len(batches) == 3
+    for b in batches:
+        assert b["frames"].shape == (2, 4, 64, 80, 3)
+        assert b["audio"].shape == (2, 8000)
+    idx = np.concatenate([b["index"] for b in batches])
+    np.testing.assert_array_equal(idx, np.arange(6))
