@@ -174,27 +174,37 @@ def avid_forward(
     bank_a = jax.lax.stop_gradient(state.view2_mem)
 
     neg_idx = draw_negatives_uniform(key, y, cfg.num_negatives, cfg.num_data)
+    scores: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
     if bank_sharded:
-        from avid_cma_tpu.parallel.sharding import gather_rows_sharded
+        # idx/query are PER-REPLICA (each replica's own batch shard), so
+        # bank accesses must go through the sharded-score psum — a plain
+        # psum-of-masked-gathers would mix the replicas' requests.
+        from avid_cma_tpu.parallel.sharding import scores_sharded
 
         assert axis_name is not None, "sharded banks require a mesh axis"
-        pos_v = gather_rows_sharded(bank_v, y, axis_name)[:, None, :]
-        pos_a = gather_rows_sharded(bank_a, y, axis_name)[:, None, :]
-        neg_v = gather_rows_sharded(bank_v, neg_idx, axis_name)
-        neg_a = gather_rows_sharded(bank_a, neg_idx, axis_name)
+        y1 = y[:, None]  # (bs, 1)
+
+        def sc(query, bank, idx):
+            return scores_sharded(bank, idx, query, axis_name) / cfg.temperature
+
+        if xmodal:
+            scores["v2a"] = (sc(video_emb, bank_a, y1), sc(video_emb, bank_a, neg_idx))
+            scores["a2v"] = (sc(audio_emb, bank_v, y1), sc(audio_emb, bank_v, neg_idx))
+        if wmodal:
+            scores["v2v"] = (sc(video_emb, bank_v, y1), sc(video_emb, bank_v, neg_idx))
+            scores["a2a"] = (sc(audio_emb, bank_a, y1), sc(audio_emb, bank_a, neg_idx))
     else:
         pos_v = bank_v[y][:, None, :]  # (bs, 1, D)
         pos_a = bank_a[y][:, None, :]
         neg_v = bank_v[neg_idx]  # (bs, K, D)
         neg_a = bank_a[neg_idx]
 
-    scores: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
-    if xmodal:
-        scores["v2a"] = _scores(video_emb, pos_a, neg_a, cfg.temperature)
-        scores["a2v"] = _scores(audio_emb, pos_v, neg_v, cfg.temperature)
-    if wmodal:
-        scores["v2v"] = _scores(video_emb, pos_v, neg_v, cfg.temperature)
-        scores["a2a"] = _scores(audio_emb, pos_a, neg_a, cfg.temperature)
+        if xmodal:
+            scores["v2a"] = _scores(video_emb, pos_a, neg_a, cfg.temperature)
+            scores["a2v"] = _scores(audio_emb, pos_v, neg_v, cfg.temperature)
+        if wmodal:
+            scores["v2v"] = _scores(video_emb, pos_v, neg_v, cfg.temperature)
+            scores["a2a"] = _scores(audio_emb, pos_a, neg_a, cfg.temperature)
 
     # Z freezes from the first head's negatives on the first step, in the
     # reference's head-insertion order (shared NCECriterion instance,

@@ -120,25 +120,44 @@ def cma_forward(
     bank_v = jax.lax.stop_gradient(state.view1_mem)
     bank_a = jax.lax.stop_gradient(state.view2_mem)
 
+    T = cfg.temperature
+    scores: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
     if bank_sharded:
+        # y/neg_idx are PER-REPLICA, so every bank access goes through the
+        # sharded-score psum (see parallel/sharding.scores_sharded); the
+        # small (bs, pos_k) int positive-set rows ride the all_gather-based
+        # row gather.
         from avid_cma_tpu.parallel.sharding import (
-            gather_rows_sharded,
             gather_values_sharded,
+            scores_sharded,
         )
 
         assert axis_name is not None, "sharded banks require a mesh axis"
-        self_v = gather_rows_sharded(bank_v, y, axis_name)[:, None, :]
-        self_a = gather_rows_sharded(bank_a, y, axis_name)[:, None, :]
         pos_idx = gather_values_sharded(
             state.positive_set, y, axis_name
         ).astype(jnp.int32)
         neg_idx = draw_negatives_avoid_sorted(
             key, pos_idx, cfg.num_negatives, cfg.num_data
         )
-        pos_v = gather_rows_sharded(bank_v, pos_idx, axis_name)
-        pos_a = gather_rows_sharded(bank_a, pos_idx, axis_name)
-        neg_v = gather_rows_sharded(bank_v, neg_idx, axis_name)
-        neg_a = gather_rows_sharded(bank_a, neg_idx, axis_name)
+        y1 = y[:, None]
+        kw = cfg.num_negatives_within
+        neg_w = neg_idx[:, :kw] if kw is not None else neg_idx
+
+        def sc(query, bank, idx):
+            return scores_sharded(bank, idx, query, axis_name) / T
+
+        if x_inst:
+            scores["inst-v2a"] = (sc(video_emb, bank_a, y1), sc(video_emb, bank_a, neg_idx))
+            scores["inst-a2v"] = (sc(audio_emb, bank_v, y1), sc(audio_emb, bank_v, neg_idx))
+        if w_inst:
+            scores["inst-v2v"] = (sc(video_emb, bank_v, y1), sc(video_emb, bank_v, neg_idx))
+            scores["inst-a2a"] = (sc(audio_emb, bank_a, y1), sc(audio_emb, bank_a, neg_idx))
+        if x_pos:
+            scores["pos-v2a"] = (sc(video_emb, bank_a, pos_idx), sc(video_emb, bank_a, neg_idx))
+            scores["pos-a2v"] = (sc(audio_emb, bank_v, pos_idx), sc(audio_emb, bank_v, neg_idx))
+        if w_pos:
+            scores["pos-v2v"] = (sc(video_emb, bank_v, pos_idx), sc(video_emb, bank_v, neg_w))
+            scores["pos-a2a"] = (sc(audio_emb, bank_a, pos_idx), sc(audio_emb, bank_a, neg_w))
     else:
         self_v = bank_v[y][:, None, :]
         self_a = bank_a[y][:, None, :]
@@ -150,23 +169,21 @@ def cma_forward(
         pos_v, pos_a = bank_v[pos_idx], bank_a[pos_idx]
         neg_v, neg_a = bank_v[neg_idx], bank_a[neg_idx]
 
-    T = cfg.temperature
-    scores: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
-    if x_inst:
-        scores["inst-v2a"] = _scores(video_emb, self_a, neg_a, T)
-        scores["inst-a2v"] = _scores(audio_emb, self_v, neg_v, T)
-    if w_inst:
-        scores["inst-v2v"] = _scores(video_emb, self_v, neg_v, T)
-        scores["inst-a2a"] = _scores(audio_emb, self_a, neg_a, T)
-    if x_pos:
-        scores["pos-v2a"] = _scores(video_emb, pos_a, neg_a, T)
-        scores["pos-a2v"] = _scores(audio_emb, pos_v, neg_v, T)
-    if w_pos:
-        kw = cfg.num_negatives_within
-        wm_neg_v = neg_v[:, :kw] if kw is not None else neg_v
-        wm_neg_a = neg_a[:, :kw] if kw is not None else neg_a
-        scores["pos-v2v"] = _scores(video_emb, pos_v, wm_neg_v, T)
-        scores["pos-a2a"] = _scores(audio_emb, pos_a, wm_neg_a, T)
+        if x_inst:
+            scores["inst-v2a"] = _scores(video_emb, self_a, neg_a, T)
+            scores["inst-a2v"] = _scores(audio_emb, self_v, neg_v, T)
+        if w_inst:
+            scores["inst-v2v"] = _scores(video_emb, self_v, neg_v, T)
+            scores["inst-a2a"] = _scores(audio_emb, self_a, neg_a, T)
+        if x_pos:
+            scores["pos-v2a"] = _scores(video_emb, pos_a, neg_a, T)
+            scores["pos-a2v"] = _scores(audio_emb, pos_v, neg_v, T)
+        if w_pos:
+            kw = cfg.num_negatives_within
+            wm_neg_v = neg_v[:, :kw] if kw is not None else neg_v
+            wm_neg_a = neg_a[:, :kw] if kw is not None else neg_a
+            scores["pos-v2v"] = _scores(video_emb, pos_v, wm_neg_v, T)
+            scores["pos-a2a"] = _scores(audio_emb, pos_a, wm_neg_a, T)
 
     # Z freezes from the first active head's negatives (shared NCECriterion,
     # insertion order inst-x, inst-w, pos-x, pos-w; nce.py:21-24).

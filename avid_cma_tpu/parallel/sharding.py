@@ -19,6 +19,7 @@ n_local = ceil(N / n_devices) (zero-padded tail on the last device).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -48,28 +49,102 @@ def local_offset(n_local: int, axis: str) -> jnp.ndarray:
     return jax.lax.axis_index(axis) * n_local
 
 
-def gather_rows_sharded(
+def _masked_local_rows(
     bank_local: jnp.ndarray, idx: jnp.ndarray, axis: str
 ) -> jnp.ndarray:
-    """bank[idx] with bank row-sharded. idx: any int shape; returns
-    idx.shape + (D,). One psum over `axis`."""
+    """Rows this shard owns for global indices `idx` (0 elsewhere)."""
     n_local = bank_local.shape[0]
     local = idx - local_offset(n_local, axis)
     valid = (local >= 0) & (local < n_local)
-    rows = jnp.where(
+    return jnp.where(
         valid[..., None],
         bank_local[jnp.clip(local, 0, n_local - 1)],
         jnp.zeros((), bank_local.dtype),
     )
-    return jax.lax.psum(rows, axis)
+
+
+def gather_rows_sharded(
+    bank_local: jnp.ndarray,
+    idx: jnp.ndarray,
+    axis: str,
+    replicated_idx: bool = False,
+) -> jnp.ndarray:
+    """bank[idx] with bank row-sharded. idx: any int shape of GLOBAL row
+    ids; returns idx.shape + (D,).
+
+    `replicated_idx=True` is the cheap path (one idx.shape+(D,) psum) and is
+    ONLY correct when every replica passes the same `idx` — a psum of
+    per-shard masked gathers mixes the replicas' requests otherwise. For
+    per-replica indices (the common case: each replica's own batch rows /
+    negative draws) the indices are first all_gathered so every shard can
+    serve every replica's request, and each replica slices its own slot
+    after the psum."""
+    if replicated_idx:
+        return jax.lax.psum(_masked_local_rows(bank_local, idx, axis), axis)
+    idx_g = jax.lax.all_gather(idx, axis)  # (n_dev,) + idx.shape
+    rows = _masked_local_rows(bank_local, idx_g, axis)
+    rows = jax.lax.psum(rows, axis)
+    return rows[jax.lax.axis_index(axis)]
 
 
 def gather_values_sharded(
-    table_local: jnp.ndarray, idx: jnp.ndarray, axis: str
+    table_local: jnp.ndarray,
+    idx: jnp.ndarray,
+    axis: str,
+    replicated_idx: bool = False,
 ) -> jnp.ndarray:
     """Like gather_rows_sharded but for int/other 2-D tables (e.g. the CMA
     positive_set (N, pos_k))."""
-    return gather_rows_sharded(table_local, idx, axis)
+    return gather_rows_sharded(table_local, idx, axis, replicated_idx)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def scores_sharded(
+    bank_local: jnp.ndarray,
+    idx: jnp.ndarray,
+    query: jnp.ndarray,
+    axis: str,
+) -> jnp.ndarray:
+    """query · bank[idx] with the bank row-sharded and idx/query
+    PER-REPLICA. idx: (bs, K) global row ids; query: (bs, D); returns
+    (bs, K) scores.
+
+    This fuses the gather into the score einsum so the collective moves
+    (n_dev·bs·K) score scalars instead of (n_dev·bs·K·D) row elements —
+    the D× cheaper way to run NCE scoring against a sharded bank (the
+    memory-axis analogue of ring attention's score-not-KV exchange).
+    Differentiable in `query` via a custom VJP whose backward is the same
+    masked-contribution psum at (n_dev·bs·D) cost; the bank is a constant
+    (callers stop_gradient it — matches the reference, where bank rows
+    are buffers, criterions/avid.py:88-101)."""
+    s, _ = _scores_sharded_fwd(bank_local, idx, query, axis)
+    return s
+
+
+def _scores_sharded_fwd(bank_local, idx, query, axis):
+    idx_g = jax.lax.all_gather(idx, axis)  # (n_dev, bs, K)
+    q_g = jax.lax.all_gather(query, axis)  # (n_dev, bs, D)
+    rows = _masked_local_rows(bank_local, idx_g, axis)  # (n_dev, bs, K, D)
+    s = jax.lax.psum(jnp.einsum("nbkd,nbd->nbk", rows, q_g), axis)
+    s_own = s[jax.lax.axis_index(axis)]
+    return s_own, (bank_local, idx)
+
+
+def _scores_sharded_bwd(axis, res, ds):
+    bank_local, idx = res
+    # dq[b, :] = sum_k ds[b, k] * bank[idx[b, k]], assembled shard-wise:
+    # every shard weights the rows it owns by the (all_gathered) upstream
+    # cotangent, one (n_dev, bs, D) psum combines, each replica keeps its
+    # own slot.
+    idx_g = jax.lax.all_gather(idx, axis)  # (n_dev, bs, K)
+    ds_g = jax.lax.all_gather(ds, axis)  # (n_dev, bs, K)
+    rows = _masked_local_rows(bank_local, idx_g, axis)  # (n_dev, bs, K, D)
+    dq = jax.lax.psum(jnp.einsum("nbkd,nbk->nbd", rows, ds_g), axis)
+    dq_own = dq[jax.lax.axis_index(axis)].astype(bank_local.dtype)
+    return jnp.zeros_like(bank_local), None, dq_own
+
+
+scores_sharded.defvjp(_scores_sharded_fwd, _scores_sharded_bwd)
 
 
 def update_rows_sharded(
@@ -79,10 +154,15 @@ def update_rows_sharded(
     axis: str,
 ) -> jnp.ndarray:
     """bank[y] = new_rows with bank row-sharded; y/new_rows are the
-    (globally identical) all_gathered batch. OOB local indices drop."""
+    (globally identical) all_gathered batch. Rows not owned by this shard
+    are dropped. NOTE: negative indices under mode="drop" wrap Python-style
+    rather than dropping, so not-owned indices are remapped to the
+    explicitly out-of-bounds value n_local before the scatter."""
     n_local = bank_local.shape[0]
     local = y - local_offset(n_local, axis)
-    return bank_local.at[local].set(
+    owned = (local >= 0) & (local < n_local)
+    safe = jnp.where(owned, local, n_local)
+    return bank_local.at[safe].set(
         new_rows.astype(bank_local.dtype), mode="drop"
     )
 
@@ -96,8 +176,9 @@ def ema_update_rows_sharded(
     eps: float = 1e-12,
 ) -> jnp.ndarray:
     """Sharded equivalent of criterions/avid.py:103-129: gather old rows,
-    EMA toward `emb`, renorm, scatter back."""
-    old = gather_rows_sharded(bank_local, y, axis)
+    EMA toward `emb`, renorm, scatter back. `y`/`emb` are the all_gathered
+    (replica-identical) batch, so the cheap replicated-idx gather applies."""
+    old = gather_rows_sharded(bank_local, y, axis, replicated_idx=True)
     new = old * momentum + emb * (1.0 - momentum)
     new = new / jnp.maximum(jnp.linalg.norm(new, axis=-1, keepdims=True), eps)
     return update_rows_sharded(bank_local, y, new, axis)

@@ -4,8 +4,13 @@ multi-chip sharding paths are exercised without TPU hardware."""
 import os
 
 # Force CPU: the session env pins JAX_PLATFORMS=axon (the real TPU chip),
-# but tests must run on a virtual 8-device mesh.
+# but tests must run on a virtual 8-device mesh. The axon sitecustomize hook
+# (PYTHONPATH=/root/.axon_site) force-registers the TPU backend at interpreter
+# startup, overriding the JAX_PLATFORMS env var — so we must ALSO override via
+# jax.config.update, which wins over the plugin registration. The env vars are
+# still set for any subprocesses tests may spawn.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # stops sitecustomize in children
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +18,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: CPU compiles of the 3D conv nets take
 # minutes; cache them across pytest runs.

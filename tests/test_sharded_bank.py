@@ -16,6 +16,7 @@ from avid_cma_tpu.criterions import (
 from avid_cma_tpu.parallel.sharding import (
     ema_update_rows_sharded,
     gather_rows_sharded,
+    scores_sharded,
     shard_bank,
 )
 from avid_cma_tpu.train.optim import build_optimizer
@@ -37,6 +38,62 @@ def test_gather_rows_sharded_matches_local(mesh, rng):
         )
     )(bank, idx)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(bank[idx]))
+
+
+def test_gather_rows_sharded_per_replica_idx(mesh, rng):
+    """Regression: per-replica (non-replicated) indices must gather each
+    replica's OWN rows — a bare psum of masked gathers mixes requests."""
+    n_dev = mesh.size
+    N, D, k = 8 * n_dev, 16, 3
+    bank = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, N, size=(n_dev, k)).astype(np.int32))
+
+    got = jax.jit(
+        jax.shard_map(
+            lambda b, i: jax.lax.all_gather(
+                gather_rows_sharded(b, i[0], "data"), "data"
+            ),
+            mesh=mesh, in_specs=(P("data", None), P("data")), out_specs=P(),
+            check_vma=False,
+        )
+    )(bank, idx)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(bank[idx]))
+
+
+def test_scores_sharded_values_and_grads(mesh, rng):
+    """Fused score psum == dense bank[idx]·q, and d(score)/d(query) matches
+    the dense einsum, per replica."""
+    n_dev = mesh.size
+    N, D, K = 8 * n_dev, 16, 5
+    bs = 2 * n_dev
+    bank = rng.normal(size=(N, D)).astype(np.float32)
+    q = rng.normal(size=(bs, D)).astype(np.float32)
+    idx = rng.integers(0, N, size=(bs, K)).astype(np.int32)
+
+    def local(bk, qq, ii):
+        def f(qq):
+            return scores_sharded(bk, ii, qq, "data").sum()
+
+        val, g = jax.value_and_grad(f)(qq)
+        return (
+            jax.lax.psum(val, "data"),
+            jax.lax.all_gather(g, "data", tiled=True),
+        )
+
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("data", None), P("data"), P("data")),
+            out_specs=(P(), P()), check_vma=False,
+        )
+    )
+    val, grads = fn(
+        shard_bank(jnp.asarray(bank), mesh), jnp.asarray(q), jnp.asarray(idx)
+    )
+    want_s = np.einsum("bkd,bd->bk", bank[idx], q)
+    want_g = bank[idx].sum(axis=1)
+    np.testing.assert_allclose(float(val), want_s.sum(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grads), want_g, rtol=1e-5, atol=1e-5)
 
 
 def test_ema_update_rows_sharded_matches_local(mesh, rng):
