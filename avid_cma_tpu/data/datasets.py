@@ -74,10 +74,45 @@ class Kinetics(VideoDataset):
         super().__init__(backend=be, video_fns=fns, labels=labels, **kwargs)
 
 
+#: AudioSet cache lists shipped with the package (provenance:
+#: assets/README.md; reference datasets/cache/audioset/)
+AUDIOSET_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets", "cache", "audioset",
+)
+
+
+class AudioSetClasses:
+    """527-class AudioSet label table from class_labels_indices.csv
+    (reference: datasets/audioset.py:17-31)."""
+
+    def __init__(self, cache_path: Optional[str] = None):
+        import csv
+
+        path = os.path.join(cache_path or AUDIOSET_CACHE,
+                            "class_labels_indices.csv")
+        with open(path) as f:
+            rows = list(csv.DictReader(f))
+        self.display_names = [r["display_name"] for r in rows]
+        self.ids = [r["mid"] for r in rows]
+        self._by_id = {r["mid"]: int(r["index"]) for r in rows}
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def class_label(self, mid: str) -> int:
+        return self._by_id[mid]
+
+    def class_name(self, index: int) -> str:
+        return self.display_names[index]
+
+
 @DATASETS.register("audioset")
 class AudioSet(VideoDataset):
     """reference: datasets/audioset.py:34-91. Labels unsupported
-    (audioset.py:59)."""
+    (audioset.py:59). With no explicit cache_path, the package-shipped
+    cache lists (assets/cache/audioset) provide the reference's exact
+    instance indexing."""
 
     def __init__(
         self,
@@ -92,6 +127,10 @@ class AudioSet(VideoDataset):
         self.name = "AudioSet dataset"
         self.subset = subset
         be = _resolve_backend(backend)
+        if cache_path is None and os.path.isfile(
+            os.path.join(AUDIOSET_CACHE, f"{subset}.txt")
+        ) and not isinstance(be, SyntheticBackend):
+            cache_path = AUDIOSET_CACHE
         if cache_path and os.path.isfile(os.path.join(cache_path, f"{subset}.txt")):
             with open(os.path.join(cache_path, f"{subset}.txt")) as f:
                 fns = [ln.strip().split()[0] for ln in f if ln.strip()]

@@ -23,6 +23,37 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+def fps_grid_indices(
+    times: np.ndarray, start: float, n_target: int, fps: float
+) -> np.ndarray:
+    """Map decoded frame timestamps onto the target fps grid, duplicating
+    frames when the target fps exceeds the source rate (semantics of
+    av_wrappers.py:31-53). Returns, for each of the n_target grid points
+    start + k/fps, the index of the latest decoded frame at-or-before it
+    (clamped to the decoded range)."""
+    times = np.asarray(times)
+    want = start + np.arange(n_target) / fps
+    return np.clip(
+        np.searchsorted(times, want, side="right") - 1, 0, len(times) - 1
+    )
+
+
+def trim_pad_audio(
+    sig: np.ndarray, decode_start: float, start: float,
+    sample_rate: int, n_target: int,
+) -> np.ndarray:
+    """Align a decoded waveform that began at `decode_start` (seek lands
+    at-or-before `start`) to exactly [start, start + n_target/sample_rate):
+    trim the lead-in, cut/zero-pad the tail (av_wrappers.py:99-111)."""
+    skip = max(0, int(round((start - decode_start) * sample_rate)))
+    sig = np.asarray(sig)[skip:]
+    if sig.size > n_target:
+        return sig[:n_target]
+    if sig.size < n_target:
+        return np.pad(sig, (0, n_target - sig.size))
+    return sig
+
+
 @dataclasses.dataclass
 class VideoMeta:
     duration: float  # seconds
@@ -141,11 +172,7 @@ class PyAVBackend(DecodeBackend):
                 times.append(t)
         if not frames:
             raise RuntimeError(f"no frames decoded from {path} @ {start}")
-        # resample decoded timestamps onto the target fps grid (duplicating
-        # frames when fps exceeds the source rate, av_wrappers.py:31-53)
-        times = np.asarray(times)
-        want = start + np.arange(n_target) / fps
-        idx = np.clip(np.searchsorted(times, want, side="right") - 1, 0, len(frames) - 1)
+        idx = fps_grid_indices(times, start, n_target, fps)
         return np.stack([frames[i] for i in idx])
 
     def load_audio(self, path, start, duration, sample_rate) -> np.ndarray:
@@ -178,12 +205,10 @@ class PyAVBackend(DecodeBackend):
         sig = (
             np.concatenate(chunks) if chunks else np.zeros(n_target, np.int16)
         ).astype(np.float32) / 32768.0
-        sig = sig[skip:]
-        if sig.size > n_target:
-            sig = sig[:n_target]
-        elif sig.size < n_target:
-            sig = np.pad(sig, (0, n_target - sig.size))
-        return sig
+        return trim_pad_audio(
+            sig, first_pts if first_pts is not None else start,
+            start, sample_rate, n_target,
+        )
 
 
 class FFmpegCLIBackend(DecodeBackend):

@@ -130,11 +130,17 @@ def build_dataloader(
     num_shards: int = 1,
     shard_index: int = 0,
     seed: int = 0,
-) -> DataLoader:
+    kind: str = "threaded",
+):
     """reference: utils/main_utils.py:214-228 (DataLoader +
-    DistributedSampler, per-process batch division)."""
-    return DataLoader(
-        dataset,
+    DistributedSampler, per-process batch division).
+
+    kind='native' selects the C++ shared-memory-ring multiprocess loader
+    (true process parallelism for the numpy-heavy collate path — the
+    GIL-free analogue of the reference's 36-72 DataLoader worker
+    processes); 'threaded' is the in-process prefetcher. Config key:
+    top-level `loader:` (see train/loop.py)."""
+    common = dict(
         batch_size=int(db_cfg["batch_size"]) // max(num_shards, 1),
         shuffle=bool(split_cfg.get("use_shuffle", split_cfg.get("use_augmentation", True))),
         drop_last=bool(split_cfg.get("drop_last", True)),
@@ -143,3 +149,10 @@ def build_dataloader(
         shard_index=shard_index,
         seed=seed,
     )
+    if kind == "native":
+        from avid_cma_tpu.data.loader import MultiprocessDataLoader
+
+        return MultiprocessDataLoader(dataset, **common)
+    if kind != "threaded":
+        raise ValueError(f"unknown loader kind '{kind}' (threaded|native)")
+    return DataLoader(dataset, **common)

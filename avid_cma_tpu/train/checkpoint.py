@@ -191,12 +191,6 @@ def flax_to_torch_state(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
     return out
 
 
-def _strip_seq_index_for_depth10(sd: Dict[str, np.ndarray], depth10: bool):
-    """Reference depth-10 video nets use bare blocks (no Sequential index);
-    exporters emit `conv2x.0.` which maps back fine on import."""
-    return sd
-
-
 # ---------------------------------------------------------------------------
 # .pth.tar import/export (torch only needed when actually used)
 # ---------------------------------------------------------------------------
@@ -238,6 +232,27 @@ def import_criterion_pth_tar(path: str) -> BankState:
     )
 
 
+def import_criterion_orbax(path: str) -> BankState:
+    """Restore banks + frozen Z from a pretrain run done IN THIS FRAMEWORK
+    (torch-free CMA warm-start; reference capability:
+    criterions/avid_cma.py:308-319 restores from the AVID .pth.tar).
+
+    `path` may be the run's model_dir (containing `orbax/`), the orbax
+    directory itself, or a specific step directory's parent."""
+    orbax_dir = path
+    if os.path.isdir(os.path.join(path, "orbax")):
+        orbax_dir = os.path.join(path, "orbax")
+    raw = CheckpointManager(orbax_dir).restore_raw()
+    if raw is None:
+        raise FileNotFoundError(f"no orbax checkpoint under {orbax_dir}")
+    bank = raw["bank"]
+    return BankState(
+        view1_mem=jnp.asarray(bank["view1_mem"]),
+        view2_mem=jnp.asarray(bank["view2_mem"]),
+        z=jnp.asarray(bank["z"], jnp.float32),
+    )
+
+
 def export_pth_tar(
     variables: Dict[str, Any],
     path: str,
@@ -268,25 +283,44 @@ def export_pth_tar(
 
 class CheckpointManager:
     """Orbax checkpointing of the full TrainState
-    (reference analogue: utils/main_utils.py:265-323)."""
+    (reference analogue: utils/main_utils.py:265-323).
+
+    Milestone steps (the reference's permanently-kept
+    `checkpoint-ep{N}.pth.tar` copies, main-avid.py:126-127 +
+    utils/main_utils.py:271-287) are exempted from max_to_keep garbage
+    collection via orbax's should_keep_fn; the set is persisted in
+    `milestones.txt` so it survives restarts."""
 
     def __init__(self, directory: str, max_to_keep: int = 3):
         import orbax.checkpoint as ocp
 
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        self._milestones_path = os.path.join(self.directory, "milestones.txt")
+        self._milestones = set()
+        if os.path.isfile(self._milestones_path):
+            with open(self._milestones_path) as f:
+                self._milestones = {int(s) for s in f.read().split()}
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
+                max_to_keep=max_to_keep,
+                create=True,
+                should_keep_fn=lambda step: step in self._milestones,
             ),
         )
 
-    def save(self, step: int, state, force: bool = False) -> bool:
+    def save(
+        self, step: int, state, force: bool = False, milestone: bool = False
+    ) -> bool:
         import orbax.checkpoint as ocp
 
+        if milestone:
+            self._milestones.add(int(step))
+            with open(self._milestones_path, "w") as f:
+                f.write("\n".join(str(s) for s in sorted(self._milestones)))
         saved = self._mgr.save(
-            step, args=ocp.args.StandardSave(state), force=force
+            step, args=ocp.args.StandardSave(state), force=force or milestone
         )
         self._mgr.wait_until_finished()
         return saved

@@ -174,6 +174,15 @@ def _load_backbone(model_cfg: Config, which: str = "video_model"):
     return backbone, variables
 
 
+def _replicate_over(state, mesh: Mesh):
+    """Orbax restores commit arrays to device 0 only; shard_map over the
+    full mesh needs them replicated (or mesh-compatible)."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+
+
 def _preprocess_frames(batch, pp_cfg, key, train: bool):
     from avid_cma_tpu.data.pipelines import preprocess_batch
 
@@ -252,9 +261,51 @@ def run_action_recognition(
         bank=None, rng=jax.random.key(int(eval_cfg.get("seed", 0))),
     )
 
-    if opt_cfg.get("warmup_classifier"):
+    logits_fn = make_logits_fn(model, mesh)
+
+    def clip_test(st, epoch, phase):
+        """Per-epoch test phase (reference: eval-action-recg.py:83-97 runs
+        run_phase('test', ...) after EVERY train epoch, warmup included)."""
+        t1, t5 = _clip_eval(
+            st, logits_fn, test_loader, pp_cfg,
+            max_batches=2 if debug else None,
+        )
+        logger.add_line(f"{phase}-test[{epoch}] Acc@1 {t1:6.2f} Acc@5 {t5:6.2f}")
+        return t1, t5
+
+    # checkpoint/resume/test_only (reference: eval CheckpointManager,
+    # utils/eval_utils.py:145-190; --test-only/--resume paths
+    # eval-action-recg.py:33-36,66-68). Per-epoch saves make finetunes
+    # preemption-safe; the best (top-1) checkpoint is persisted separately
+    # (reference model_best.pth.tar, utils/main_utils.py:318-323).
+    import json as _json
+
+    ckpt = CheckpointManager(os.path.join(eval_dir, "orbax"))
+    best_ckpt = CheckpointManager(
+        os.path.join(eval_dir, "orbax_best"), max_to_keep=1
+    )
+    best_path = os.path.join(eval_dir, "best.json")
+    best = {"top1": -1.0, "step": -1}
+    if os.path.isfile(best_path):
+        with open(best_path) as f:
+            best = _json.load(f)
+
+    full_template = state.replace(opt_state=full_opt.init(state.params))
+    restored = (
+        bool(eval_cfg.get("resume") or eval_cfg.get("test_only"))
+        and ckpt.latest_step() is not None
+    )
+    start_epoch = 0
+    if restored:
+        state = _replicate_over(ckpt.restore(full_template), mesh)
+        start_epoch = int(state.epoch)
+        logger.add_line(
+            f"restored eval checkpoint @ step {int(state.step)} "
+            f"(epoch {start_epoch})"
+        )
+    elif opt_cfg.get("warmup_classifier"):
         # classifier-only phase (reference: eval-action-recg.py:74-84,
-        # warmup_epochs defaulting to 5).
+        # warmup_epochs defaulting to 5; only when starting from scratch).
         # NOTE: steps donate their input state, so the finetune state must
         # be derived from the warmup OUTPUT, never from pre-warmup buffers.
         warmup_epochs = 1 if debug else int(opt_cfg.get("warmup_epochs", 5))
@@ -264,27 +315,33 @@ def run_action_recognition(
         state = _train_epochs(
             state, warm_step, train_loader, pp_cfg, warmup_epochs,
             logger, phase="warmup", debug=debug,
+            on_epoch_end=lambda st, ep: clip_test(st, ep, "warmup"),
         )
 
-    state = state.replace(opt_state=full_opt.init(state.params))
+    if not restored:
+        state = state.replace(
+            opt_state=full_opt.init(state.params), epoch=jnp.int32(0)
+        )
     train_step = make_supervised_train_step(model, full_opt, mesh)
 
-    # checkpoint/resume/test_only (reference: eval CheckpointManager,
-    # utils/eval_utils.py:145-190; --test-only/--resume paths
-    # eval-action-recg.py:33-36,66-68)
-    ckpt = CheckpointManager(os.path.join(eval_dir, "orbax"))
-    if (eval_cfg.get("resume") or eval_cfg.get("test_only")) and (
-        ckpt.latest_step() is not None
-    ):
-        state = ckpt.restore(state)
-        logger.add_line(f"restored eval checkpoint @ step {int(state.step)}")
-
     if not eval_cfg.get("test_only"):
+
+        def on_epoch_end(st, epoch):
+            t1, _ = clip_test(st, epoch, "finetune")
+            step = int(st.step)
+            ckpt.save(step, st)
+            if t1 > best["top1"]:
+                best.update(top1=t1, step=step)
+                best_ckpt.save(step, st, force=True)
+                with open(best_path, "w") as f:
+                    _json.dump(best, f)
+                logger.add_line(f"new best Acc@1 {t1:6.2f} @ step {step}")
+
         state = _train_epochs(
             state, train_step, train_loader, pp_cfg, num_epochs, logger,
-            phase="finetune", debug=debug,
+            phase="finetune", debug=debug, start_epoch=start_epoch,
+            on_epoch_end=on_epoch_end,
         )
-        ckpt.save(int(state.step), state, force=True)
 
     # final clip eval at 25 clips/video (reference rebuilds the loaders
     # with clips_per_video=25 before the last test, eval-action-recg.py:102)
@@ -311,35 +368,66 @@ def run_action_recognition(
     return results
 
 
-def _train_epochs(state, step_fn, loader, pp_cfg, epochs, logger, phase, debug):
-    for epoch in range(epochs):
+def _train_epochs(
+    state, step_fn, loader, pp_cfg, epochs, logger, phase, debug,
+    start_epoch: int = 0, seed: int = 123,
+    on_epoch_end: Optional[Callable] = None,
+):
+    """Epoch loop for finetune/probe/warmup phases.
+
+    Per-batch metrics are buffered as device arrays and drained at print
+    points — reading `int(state.step)` or `float(loss)` every iteration
+    would force a device sync per step (the pretrain loop's host-side
+    counter pattern, train/loop.py). `on_epoch_end(state, epoch)` hooks the
+    reference's per-epoch test + checkpoint protocol
+    (eval-action-recg.py:83-98)."""
+    host_step = int(state.step)
+    for epoch in range(start_epoch, epochs):
         loader.set_epoch(epoch)
         loss_m = AverageMeter("Loss", ":.4e")
         acc_m = AverageMeter("Acc@1", ":6.2f")
         progress = ProgressMeter(len(loader), [loss_m, acc_m], phase=phase,
                                  epoch=epoch, logger=logger)
+        pending = []
+
+        def drain():
+            for metrics, logits, labels in pending:
+                n = labels.shape[0]
+                loss_m.update(float(metrics["loss"]), n=n)
+                top1 = accuracy(np.asarray(logits), labels, (1,))[0]
+                acc_m.update(top1, n=n)
+            pending.clear()
+
         for it, batch in enumerate(loader):
-            key = jax.random.fold_in(jax.random.key(123), int(state.step))
+            key = jax.random.fold_in(jax.random.key(seed), host_step)
             frames = _preprocess_frames(batch, pp_cfg, key, train=True)
-            labels = jnp.asarray(batch["label"])
-            state, metrics, logits = step_fn(state, frames, labels)
-            loss_m.update(float(metrics["loss"]), n=labels.shape[0])
-            top1 = accuracy(np.asarray(logits), np.asarray(labels), (1,))[0]
-            acc_m.update(top1, n=labels.shape[0])
+            labels = np.asarray(batch["label"])
+            state, metrics, logits = step_fn(state, frames, jnp.asarray(labels))
+            host_step += 1
+            pending.append((metrics, logits, labels))
             if it % 50 == 0 or it == len(loader) - 1:
+                drain()
                 progress.display(it)
             if debug and it >= 2:
                 break
+        drain()
+        state = state.replace(epoch=jnp.int32(epoch + 1))
+        if on_epoch_end is not None:
+            on_epoch_end(state, epoch)
     return state
 
 
-def _clip_eval(state, logits_fn, loader, pp_cfg) -> Tuple[float, float]:
+def _clip_eval(
+    state, logits_fn, loader, pp_cfg, max_batches: Optional[int] = None
+) -> Tuple[float, float]:
     all_logits, all_labels = [], []
-    for batch in loader:
+    for it, batch in enumerate(loader):
         frames = _preprocess_frames(batch, pp_cfg, jax.random.key(0), train=False)
         logits = logits_fn(state.params, state.batch_stats, frames)
         all_logits.append(np.asarray(logits))
         all_labels.append(np.asarray(batch["label"]))
+        if max_batches is not None and it + 1 >= max_batches:
+            break
     logits = np.concatenate(all_logits)
     labels = np.concatenate(all_labels)
     top1, top5 = accuracy(logits, labels, (1, 5))
@@ -347,14 +435,26 @@ def _clip_eval(state, logits_fn, loader, pp_cfg) -> Tuple[float, float]:
 
 
 def _dense_eval(
-    state, logits_fn, dense_ds, pp_cfg, batch_clips: int, workers: int = 1
+    state, logits_fn, dense_ds, pp_cfg, batch_clips: int, workers: int = 1,
+    max_videos: Optional[int] = None,
 ) -> Tuple[float, float]:
     """Dense video eval: softmax over each chunk, averaged over chunks
-    (reference: eval-action-recg.py:101-110 + BatchWrapper chunking)."""
+    (reference: eval-action-recg.py:101-110 + BatchWrapper chunking).
+    Whole-video decode dominates wall-clock, so items are fed through the
+    prefetching loader (one video per 'batch') instead of a single-thread
+    __getitem__ sweep."""
+    from avid_cma_tpu.data.loader import DataLoader as _Loader
+
+    n_videos = len(dense_ds) if max_videos is None else min(max_videos, len(dense_ds))
+    loader = _Loader(
+        dense_ds, batch_size=1, shuffle=False, drop_last=False,
+        num_workers=max(workers, 1),
+    )
     video_scores, video_labels = [], []
-    for vi in range(len(dense_ds)):
-        sample = dense_ds[vi]
-        frames = sample["frames"]  # (clips, T, H, W, C)
+    for vi, sample in enumerate(loader):
+        if vi >= n_videos:
+            break
+        frames = sample["frames"][0]  # (clips, T, H, W, C)
         probs = []
         for s in range(0, frames.shape[0], batch_clips):
             chunk = frames[s : s + batch_clips]
@@ -364,7 +464,7 @@ def _dense_eval(
             logits = logits_fn(state.params, state.batch_stats, f)
             probs.append(jax.nn.softmax(np.asarray(logits), axis=-1))
         video_scores.append(np.concatenate(probs).mean(axis=0))
-        video_labels.append(sample["label"])
+        video_labels.append(np.asarray(sample["label"])[0])
     scores = np.stack(video_scores)
     labels = np.asarray(video_labels)
     top1, top5 = accuracy(scores, labels, (1, 5))
@@ -438,29 +538,43 @@ def run_linear_probe(
     if (eval_cfg.get("resume") or eval_cfg.get("test_only")) and (
         ckpt.latest_step() is not None
     ):
-        state = ckpt.restore(state)
+        state = _replicate_over(ckpt.restore(state), mesh)
         logger.add_line(f"restored probe checkpoint @ step {int(state.step)}")
     if eval_cfg.get("test_only"):
         num_epochs = 0
 
-    for epoch in range(num_epochs):
+    # host-side step counter + buffered loss drains: no per-iteration
+    # device sync (same pattern as _train_epochs / the pretrain loop)
+    host_step = int(state.step)
+    start_epoch = int(state.epoch)
+    for epoch in range(start_epoch, num_epochs):
         train_loader.set_epoch(epoch)
         loss_m = AverageMeter("Loss", ":.4e")
         progress = ProgressMeter(len(train_loader), [loss_m], phase="probe",
                                  epoch=epoch, logger=logger)
+        pending = []
+
+        def drain():
+            for arr, n in pending:
+                loss_m.update(float(arr), n=n)
+            pending.clear()
+
         for it, batch in enumerate(train_loader):
-            key = jax.random.fold_in(jax.random.key(7), int(state.step))
+            key = jax.random.fold_in(jax.random.key(7), host_step)
             frames = _preprocess_frames(batch, pp_cfg, key, train=True)
             labels = jnp.asarray(batch["label"])
             state, metrics, _ = step_fn(state, frames, labels)
-            loss_m.update(float(metrics["loss"]), n=labels.shape[0])
+            host_step += 1
+            pending.append((metrics["loss"], labels.shape[0]))
             if it % 50 == 0 or it == len(train_loader) - 1:
+                drain()
                 progress.display(it)
             if debug and it >= 2:
                 break
-
-    if not eval_cfg.get("test_only"):
-        ckpt.save(max(int(state.step), 1), state, force=True)
+        drain()
+        # per-epoch save: probes survive preemption mid-run
+        state = state.replace(epoch=jnp.int32(epoch + 1))
+        ckpt.save(max(host_step, 1), state)
 
     # per-tap clip eval
     logits_fn = make_logits_fn(model, mesh)

@@ -34,6 +34,7 @@ from avid_cma_tpu.parallel.mesh import make_mesh
 from avid_cma_tpu.train import builders
 from avid_cma_tpu.train.checkpoint import (
     CheckpointManager,
+    import_criterion_orbax,
     import_criterion_pth_tar,
     import_model_pth_tar,
 )
@@ -73,10 +74,11 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
     # --- data -------------------------------------------------------------
     train_ds = builders.build_dataset(db_cfg, db_cfg.train, mode="clip")
     num_workers = 1 if debug else int(cfg.get("num_workers", 4))
+    loader_kind = str(cfg.get("loader", "threaded"))
     loader = builders.build_dataloader(
         train_ds, db_cfg, db_cfg.train, num_workers=num_workers,
         num_shards=jax.process_count(), shard_index=jax.process_index(),
-        seed=seed,
+        seed=seed, kind=loader_kind,
     )
     test_loader = None
     if not cfg.get("no_test", False) and "test" in db_cfg:
@@ -85,7 +87,7 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
             test_loader = builders.build_dataloader(
                 test_ds, db_cfg, db_cfg.test, num_workers=num_workers,
                 num_shards=jax.process_count(),
-                shard_index=jax.process_index(), seed=seed,
+                shard_index=jax.process_index(), seed=seed, kind=loader_kind,
             )
         except FileNotFoundError:
             logger.add_line("no test split available; skipping test phases")
@@ -128,17 +130,25 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
         logger.add_line(f"warm-started model from {model_ck}")
     ckpt = CheckpointManager(os.path.join(model_dir, "orbax"))
     resuming = bool(cfg.get("resume")) and ckpt.latest_step() is not None
+    # bank layout: 'sharded' keeps bank rows (and the CMA positive set)
+    # row-sharded over the mesh — required once banks outgrow one chip's
+    # HBM (AudioSet-2M: 2x1.78Mx128; reference replicates per GPU,
+    # criterions/avid.py:88-101)
+    bank_sharding = str(cfg.loss.get("bank_sharding", "replicated"))
     # when resuming, the O(N^2 D) CMA mining sweep would be thrown away by
-    # the restore — only the bank pytree SHAPE is needed as a template
+    # the restore — only the bank pytree SHAPE (and sharding) is needed as
+    # a template
     state = state.replace(
         bank=_init_bank(cfg.loss, crit_cfg, mesh, seed, logger,
-                        template_only=resuming)
+                        template_only=resuming, bank_sharding=bank_sharding)
     )
     if resuming:
         state = ckpt.restore(state)
         logger.add_line(f"resumed from step {int(state.step)}")
 
-    train_step = make_train_step(model, crit_cfg, optimizer, mesh)
+    train_step = make_train_step(
+        model, crit_cfg, optimizer, mesh, bank_sharding=bank_sharding
+    )
     eval_step = None
     optimizer_mesh = mesh
 
@@ -150,13 +160,19 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
             epoch, crit_cfg.resample_freq
         ):
             logger.add_line(f"epoch {epoch}: re-mining CMA positive set")
+            v1, v2 = state.bank.view1_mem, state.bank.view2_mem
+            if bank_sharding == "sharded":
+                # mine on the unpadded global view, then re-shard the result
+                from avid_cma_tpu.parallel.sharding import shard_bank, unshard_bank
+
+                v1 = unshard_bank(v1, crit_cfg.num_data)
+                v2 = unshard_bank(v2, crit_cfg.num_data)
             pos = mine_positives(
-                state.bank.view1_mem, state.bank.view2_mem,
-                crit_cfg.pos_k, crit_cfg.sampling_type, mesh=mesh,
-            )
-            state = state.replace(
-                bank=state.bank.replace(positive_set=pos.astype(jnp.int32))
-            )
+                v1, v2, crit_cfg.pos_k, crit_cfg.sampling_type, mesh=mesh,
+            ).astype(jnp.int32)
+            if bank_sharding == "sharded":
+                pos = shard_bank(pos, mesh)
+            state = state.replace(bank=state.bank.replace(positive_set=pos))
 
         loader.set_epoch(epoch)
         state = state.replace(epoch=jnp.int32(epoch))
@@ -173,22 +189,32 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
         save_freq_steps = int(cfg.get("save_freq_steps", 0))
         # host-side mirror of state.step: reading int(state.step) would
         # force a device sync every iteration, serializing host batch prep
-        # against device compute
+        # against device compute. Per-batch losses are buffered as device
+        # arrays and drained in bulk at print points so the epoch average
+        # covers EVERY batch (reference meters update per batch,
+        # main-avid.py:183-192) without a per-step sync.
         host_step = int(state.step)
+        pending_losses = []
+
+        def drain_losses():
+            for arr, n in pending_losses:
+                meters["loss"].update(float(arr), n=n)
+            pending_losses.clear()
+
         t0 = time.time()
         for it, batch in enumerate(loader):
             meters["data_t"].update(time.time() - t0)
             key = jax.random.fold_in(jax.random.key(seed + 1), host_step)
             batch = preprocess_batch(key, batch, pp_cfg, train=True)
             state, metrics = train_step(state, batch)
+            pending_losses.append((metrics["loss"], batch["index"].shape[0]))
             host_step += 1
             # preemption-safe mid-epoch checkpointing (TPU preemption is
             # routine; the reference only saves per epoch, SURVEY §5)
             if save_freq_steps and host_step % save_freq_steps == 0:
                 ckpt.save(host_step, state)
             if it % print_freq == 0 or it == len(loader) - 1:
-                loss = float(metrics["loss"])  # sync point
-                meters["loss"].update(loss, n=batch["index"].shape[0])
+                drain_losses()  # sync point
                 meters["batch_t"].update(time.time() - t0)
                 progress.display(it)
                 tb.add_scalars(
@@ -197,17 +223,23 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
             else:
                 meters["batch_t"].update(time.time() - t0)
             t0 = time.time()
+        drain_losses()
 
         state = state.replace(epoch=jnp.int32(epoch + 1))
-        ckpt.save(int(state.step), state, force=(epoch + 1) in milestones)
+        ckpt.save(int(state.step), state, milestone=(epoch + 1) in milestones)
         logger.add_line(f"epoch {epoch} done; checkpoint @ step {int(state.step)}")
 
         # held-out criterion loss (reference: run_phase 'test' every
-        # test_freq epochs, main-avid.py:132-136)
+        # test_freq epochs AND on the final epoch, main-avid.py:132-137)
         test_freq = int(cfg.get("test_freq", 1))
-        if test_loader is not None and (epoch % max(test_freq, 1) == 0):
+        if test_loader is not None and (
+            epoch % max(test_freq, 1) == 0 or epoch == epochs - 1
+        ):
             if eval_step is None:
-                eval_step = make_eval_loss_step(model, crit_cfg, optimizer_mesh)
+                eval_step = make_eval_loss_step(
+                    model, crit_cfg, optimizer_mesh,
+                    bank_sharding=bank_sharding,
+                )
             test_loader.set_epoch(epoch)
             losses = []
             for it, batch in enumerate(test_loader):
@@ -235,17 +267,27 @@ def build_model_with_warmstart(model_cfg: Config, logger: Optional[Logger] = Non
 
 
 def _init_bank(loss_cfg: Config, crit_cfg, mesh, seed: int, logger: Logger,
-               template_only: bool = False):
+               template_only: bool = False,
+               bank_sharding: str = "replicated"):
     """AVID: fresh banks. AVID-CMA: banks+Z restored from the AVID
     checkpoint (criterions/avid_cma.py:308-319), then the positive set is
-    mined before training (avid_cma.py:320-321).
+    mined before training (avid_cma.py:320-321). The checkpoint may be a
+    reference-format `.pth.tar` OR a pretrain run done in this framework
+    (a model_dir/orbax directory) — no torch detour needed.
 
     `template_only`: an orbax restore will overwrite the values — build
-    the right SHAPES without running the O(N^2 D) mining sweep."""
+    the right SHAPES (and shardings) without running the O(N^2 D) mining
+    sweep. With bank_sharding='sharded' the returned banks (and positive
+    set) are row-sharded over the mesh."""
     ck = loss_cfg.get("args", {}).get("checkpoint")
     if template_only:
         bank = init_bank_state(
             jax.random.key(0), crit_cfg.num_data, crit_cfg.embedding_dim
+        )
+    elif ck and os.path.isdir(ck):
+        bank = import_criterion_orbax(ck)
+        logger.add_line(
+            f"restored banks from orbax run {ck} (z={float(bank.z):.4f})"
         )
     elif ck and os.path.isfile(ck):
         bank = import_criterion_pth_tar(ck)
@@ -256,10 +298,24 @@ def _init_bank(loss_cfg: Config, crit_cfg, mesh, seed: int, logger: Logger,
         )
         if isinstance(crit_cfg, AVIDCMAConfig) and ck:
             logger.add_line(f"warning: CMA checkpoint {ck} missing; random banks")
+
+    def finalize(bank_state):
+        if bank_sharding != "sharded":
+            return bank_state
+        from avid_cma_tpu.parallel.sharding import shard_bank
+
+        kwargs = dict(
+            view1_mem=shard_bank(bank_state.view1_mem, mesh),
+            view2_mem=shard_bank(bank_state.view2_mem, mesh),
+        )
+        if getattr(bank_state, "positive_set", None) is not None:
+            kwargs["positive_set"] = shard_bank(bank_state.positive_set, mesh)
+        return bank_state.replace(**kwargs)
+
     if isinstance(crit_cfg, AVIDCMAConfig):
         if template_only:
             pos = jnp.zeros((crit_cfg.num_data, crit_cfg.pos_k), jnp.int32)
-            return cma_state_from_bank(bank, pos)
+            return finalize(cma_state_from_bank(bank, pos))
         logger.add_line(
             f"mining CMA positives: N={crit_cfg.num_data} pos_k={crit_cfg.pos_k} "
             f"type={crit_cfg.sampling_type}"
@@ -268,5 +324,5 @@ def _init_bank(loss_cfg: Config, crit_cfg, mesh, seed: int, logger: Logger,
             bank.view1_mem, bank.view2_mem, crit_cfg.pos_k,
             crit_cfg.sampling_type, mesh=mesh,
         )
-        return cma_state_from_bank(bank, pos)
-    return bank
+        return finalize(cma_state_from_bank(bank, pos))
+    return finalize(bank)

@@ -105,21 +105,20 @@ class ProgressMeter:
 
     def synchronize_meters(self) -> None:
         """Cross-process meter averaging (reference intent,
-        utils/logger.py:73-79). No-op single-process."""
-        try:
-            import jax
+        utils/logger.py:73-79). No-op single-process. A failed collective
+        raises: silently reporting rank-0-only numbers as synced averages
+        would be worse than crashing."""
+        import jax
 
-            if jax.process_count() == 1:
-                return
-            from jax.experimental import multihost_utils
+        if jax.process_count() == 1:
+            return
+        from jax.experimental import multihost_utils
 
-            vals = np.asarray([m.avg for m in self.meters], np.float32)
-            synced = multihost_utils.process_allgather(vals).mean(axis=0)
-            for m, v in zip(self.meters, synced):
-                m.reset()
-                m.update(float(v))
-        except Exception:
-            pass
+        vals = np.asarray([m.avg for m in self.meters], np.float32)
+        synced = multihost_utils.process_allgather(vals).mean(axis=0)
+        for m, v in zip(self.meters, synced):
+            m.reset()
+            m.update(float(v))
 
 
 def accuracy(logits: np.ndarray, labels: np.ndarray, topk=(1,)):

@@ -1,22 +1,31 @@
 #!/usr/bin/env python
-"""Benchmark: AVID pretrain train-step throughput on the local chip(s).
+"""Benchmark: AVID pretrain train-step throughput + MFU on the local chip(s).
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+"mfu": ..., "secondary": {...}}.
 
 Measures the full jitted hot path — device preprocessing (random-resized
 crop/flip/jitter + matmul-DFT spectrogram) fused with the train step
 (R(2+1)D-18 + Conv2D-10 forward, NCE vs 1024 negatives, backward, Adam,
-bank EMA) — at the reference Kinetics recipe shapes (8 frames @ 112^2,
-2 s audio -> 200x257 spectrogram; BASELINE.json names the 112^2 config).
+bank EMA) — at the FLAGSHIP reference Kinetics recipe shape
+(/root/reference/configs/main/avid/kinetics/Cross-N1024.yaml: 8 frames
+@ 16 fps, 224^2 crop, batch 256 over 8 devices = 32/chip, 2 s audio ->
+200x257 spectrogram), plus a secondary 112^2 measurement (the shape
+benchmarked since round 1).
+
+MFU: per-step FLOPs from XLA's compiled cost analysis divided by
+(step time x chip peak). Peak bf16 FLOPs resolved from the device kind
+(override with BENCH_PEAK_TFLOPS).
 
 The tunneled chip on this host is time-sliced, so throughput is the BEST
 of several measurement windows (standard practice on shared hardware).
 
 vs_baseline: ratio against BASELINE_PERF.json's clips_per_sec_per_chip
-when present (the PyTorch reference number measured elsewhere), else 0.
+(the derived PyTorch-GPU reference number at the same flagship shape; see
+that file for the derivation), else 0.
 
-Env knobs: BENCH_BATCH, BENCH_CROP, BENCH_FRAMES, BENCH_STEPS,
-BENCH_WINDOWS, BENCH_DTYPE=bf16|f32.
+Env knobs: BENCH_BATCH, BENCH_STEPS, BENCH_WINDOWS, BENCH_DTYPE=bf16|f32,
+BENCH_SKIP_224, BENCH_SKIP_112, BENCH_PEAK_TFLOPS.
 """
 
 import json
@@ -27,16 +36,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# chip peak dense bf16 FLOPs/s by device kind (public cloud.google.com specs)
+PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
-def main():
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
-    crop = int(os.environ.get("BENCH_CROP", "112"))
-    frames = int(os.environ.get("BENCH_FRAMES", "8"))
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
-    windows = int(os.environ.get("BENCH_WINDOWS", "5"))
-    dtype_name = os.environ.get("BENCH_DTYPE", "bf16")
-    dtype = {"bf16": jnp.bfloat16, "f32": None}[dtype_name]
 
+def peak_flops_per_chip() -> float:
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12
+    kind = jax.devices()[0].device_kind
+    for prefix, peak in PEAK_BF16.items():
+        if kind.startswith(prefix):
+            return peak
+    return 0.0
+
+
+def measure(batch, crop, frames, steps, windows, dtype, dtype_name):
     from avid_cma_tpu.criterions import AVIDConfig
     from avid_cma_tpu.data.pipelines import PreprocessConfig, preprocess_batch
     from avid_cma_tpu.models import av_wrapper
@@ -58,9 +80,12 @@ def main():
     pp = PreprocessConfig(crop_size=crop, audio_fps=24000, n_fft=512,
                           spectrogram_fps=100.0, audio_clip_duration=2.0)
 
+    # raw decode output: short side ~1.14x crop (reference MSC crop source)
+    raw_h, raw_w = int(crop * 8 / 7), int(crop * 10 / 7)
     rng = np.random.default_rng(0)
     raw = {
-        "frames": rng.integers(0, 255, (batch, frames, 128, 160, 3), dtype=np.uint8),
+        "frames": rng.integers(0, 255, (batch, frames, raw_h, raw_w, 3),
+                               dtype=np.uint8),
         "audio": rng.normal(size=(batch, 48000)).astype(np.float32),
         "index": np.arange(batch, dtype=np.int32),
     }
@@ -81,6 +106,16 @@ def main():
     raw_dev = jax.device_put(raw)  # the input pipeline would keep batches
     # on device via double-buffered prefetch; don't measure cold H2D.
 
+    # per-step FLOPs from the compiled program (fwd+bwd+opt+preprocessing)
+    flops = 0.0
+    try:
+        cost = fused_step.lower(state, raw_dev, 0).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        pass
+
     # warmup / compile
     state, metrics = fused_step(state, raw_dev, 0)
     float(np.asarray(metrics["loss"]))
@@ -97,24 +132,63 @@ def main():
         best = max(best, batch * steps / dt)
 
     n_chips = jax.device_count()
-    baseline = 0.0
-    if os.path.isfile("BASELINE_PERF.json"):
-        try:
-            baseline = float(
-                json.load(open("BASELINE_PERF.json"))["clips_per_sec_per_chip"]
-            )
-        except Exception:
-            baseline = 0.0
-    value = best / n_chips
-    print(json.dumps({
+    clips_per_sec_per_chip = best / n_chips
+    peak = peak_flops_per_chip()
+    mfu = 0.0
+    if flops and peak:
+        flops_per_sec_per_chip = flops * (clips_per_sec_per_chip / batch)
+        mfu = flops_per_sec_per_chip / peak
+    return {
         "metric": (
             f"avid_pretrain_clips_per_sec_per_chip_b{batch}_{frames}x{crop}_"
             + dtype_name
         ),
-        "value": round(value, 2),
+        "value": round(clips_per_sec_per_chip, 2),
         "unit": "clips/s/chip",
-        "vs_baseline": round(value / baseline, 3) if baseline > 0 else 0.0,
-    }))
+        "mfu": round(mfu, 4),
+        "flops_per_step": flops,
+    }
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    windows = int(os.environ.get("BENCH_WINDOWS", "5"))
+    dtype_name = os.environ.get("BENCH_DTYPE", "bf16")
+    dtype = {"bf16": jnp.bfloat16, "f32": None}[dtype_name]
+
+    results = {}
+    if not os.environ.get("BENCH_SKIP_224"):
+        results["224"] = measure(batch, 224, 8, steps, windows, dtype, dtype_name)
+    if not os.environ.get("BENCH_SKIP_112"):
+        results["112"] = measure(batch, 112, 8, steps, windows, dtype, dtype_name)
+
+    headline = results.get("224") or results["112"]
+    baseline = 0.0
+    baseline_info = {}
+    if os.path.isfile("BASELINE_PERF.json"):
+        try:
+            baseline_info = json.load(open("BASELINE_PERF.json"))
+            baseline = float(baseline_info["clips_per_sec_per_chip"])
+        except Exception:
+            baseline = 0.0
+
+    out = dict(headline)
+    out.pop("flops_per_step", None)
+    out["vs_baseline"] = (
+        round(headline["value"] / baseline, 3) if baseline > 0 else 0.0
+    )
+    out["secondary"] = {
+        k: {kk: v[kk] for kk in ("metric", "value", "mfu")}
+        for k, v in results.items()
+        if v is not headline
+    }
+    if baseline_info:
+        out["baseline"] = {
+            "clips_per_sec_per_chip": baseline,
+            "hardware": baseline_info.get("hardware"),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

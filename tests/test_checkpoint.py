@@ -126,3 +126,24 @@ def test_forward_parity_with_reference_torch_model(tmp_path):
     np.testing.assert_allclose(
         np.asarray(a_emb), ta_emb.numpy(), rtol=2e-3, atol=5e-4
     )
+
+
+def test_milestone_checkpoints_survive_retention(tmp_path):
+    """Milestone saves must survive max_to_keep garbage collection
+    (reference keeps checkpoint-ep{N}.pth.tar copies permanently,
+    main-avid.py:126-127 + utils/main_utils.py:271-287)."""
+    from avid_cma_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "orbax"), max_to_keep=2)
+    state = {"x": jnp.arange(4, dtype=jnp.float32)}
+    for step in range(1, 6):
+        mgr.save(step, {"x": state["x"] + step}, milestone=(step == 2))
+
+    steps = set(mgr._mgr.all_steps())
+    assert 2 in steps, "milestone step was garbage-collected"
+    assert 5 in steps  # latest retained
+    # the milestone set persists across manager restarts
+    mgr2 = CheckpointManager(str(tmp_path / "orbax"), max_to_keep=2)
+    assert 2 in set(mgr2._mgr.all_steps())
+    restored = mgr2.restore({"x": jnp.zeros(4, jnp.float32)}, step=2)
+    np.testing.assert_allclose(np.asarray(restored["x"]), np.arange(4) + 2)

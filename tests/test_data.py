@@ -178,3 +178,55 @@ def test_preprocess_batch_shapes():
     assert np.all(np.isfinite(np.asarray(out["audio"])))
     out_eval = preprocess_batch(jax.random.key(0), batch, cfg, train=False)
     assert out_eval["frames"].shape == (2, 4, 32, 32, 3)
+
+
+def test_audioset_constructs_from_shipped_cache_list():
+    """The packaged AudioSet cache lists (assets/cache/audioset, provenance
+    in assets/README.md) must reproduce the reference's instance indexing
+    (reference: datasets/audioset.py:55-57) without any media present."""
+    from avid_cma_tpu.data.datasets import AUDIOSET_CACHE, AudioSet, AudioSetClasses
+
+    ds = AudioSet(
+        subset="unbalanced_train-100k", cache_path=AUDIOSET_CACHE,
+        backend="synthetic", mode="clip",
+        video_clip_duration=0.25, video_fps=8.0,
+        audio_clip_duration=0.5, audio_fps=24000,
+        return_labels=False, return_index=True,
+    )
+    assert len(ds) == 100_000
+    eval_ds = AudioSet(
+        subset="eval", cache_path=AUDIOSET_CACHE, backend="synthetic",
+        mode="clip", video_clip_duration=0.25, video_fps=8.0,
+        audio_clip_duration=0.5, audio_fps=24000,
+        return_labels=False, return_index=True,
+    )
+    assert len(eval_ds) > 10_000
+
+    classes = AudioSetClasses()
+    assert len(classes) == 527
+    assert classes.class_name(0) == "Speech"
+    assert classes.class_label("/m/09x0r") == 0
+
+
+def test_audioset_availability_filter(tmp_path):
+    """Only clips present under `root` survive the availability filter
+    (reference: datasets/audioset.py:55-57)."""
+    from avid_cma_tpu.data.datasets import AudioSet
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    names = [f"vid_{i:03d}.mp4" for i in range(10)]
+    (cache / "mini.txt").write_text("\n".join(names))
+    root = tmp_path / "media"
+    root.mkdir()
+    for n in names[:4]:
+        (root / n).touch()
+
+    ds = AudioSet(
+        subset="mini", cache_path=str(cache), root=str(root),
+        backend="synthetic", mode="clip",
+        video_clip_duration=0.25, video_fps=8.0,
+        audio_clip_duration=0.5, audio_fps=24000,
+        return_labels=False, return_index=True,
+    )
+    assert len(ds) == 4

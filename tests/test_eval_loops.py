@@ -1,0 +1,118 @@
+"""Integration tests for the eval orchestration (reference flows:
+eval-action-recg.py, eval-action-recg-linear.py) on synthetic data:
+per-epoch test phases, best-checkpoint tracking, and restore reproducing
+metrics (reference: eval-action-recg.py:83-98 + utils/main_utils.py:318-323)."""
+
+import json
+import os
+
+import numpy as np
+
+from avid_cma_tpu.config import from_dict
+
+
+def model_cfg(tmp_path):
+    return from_dict({
+        "name": "smoke", "model_dir": str(tmp_path),
+        "arch": "av_wrapper",
+        "args": {"proj_dim": [64, 32],
+                 "video_backbone": "R2Plus1D",
+                 "video_backbone_args": {"depth": 10},
+                 "audio_backbone": "Conv2D",
+                 "audio_backbone_args": {"depth": 10}},
+    })
+
+
+def finetune_cfg(n_classes=101):
+    split = {"split": "trainlist{fold:02d}", "mode": "clip",
+             "clips_per_video": 1, "use_augmentation": True,
+             "use_shuffle": True, "drop_last": True}
+    test = {"split": "testlist{fold:02d}", "mode": "clip",
+            "clips_per_video": 1, "use_augmentation": False,
+            "use_shuffle": False, "drop_last": False}
+    return from_dict({
+        "seed": 0, "num_workers": 1, "test_only": False, "resume": False,
+        "benchmark": {"name": "ucf-smoke"},
+        "dataset": {
+            "name": "ucf101", "backend": "synthetic", "synthetic_size": 16,
+            "fold": 1, "batch_size": 8, "clip_duration": 0.25,
+            "video_fps": 8.0, "crop_size": 32,
+            "train": split, "test": test,
+            "test_dense": {**test, "mode": "video", "clips_per_video": 2},
+        },
+        "optimizer": {
+            "name": "adam", "num_epochs": 1, "weight_decay": 0.0,
+            "warmup_classifier": True, "warmup_epochs": 1,
+            "lr": {"name": "multistep", "base_lr": 1e-3, "gamma": 1.0,
+                   "milestones": [1]},
+        },
+        "model": {
+            "name": "ClassificationWrapper",
+            "args": {"n_classes": n_classes, "feat_name": "pool",
+                     "pooling_op": None, "use_dropout": True, "dropout": 0.5},
+        },
+    })
+
+
+def test_finetune_best_checkpoint_and_restore(tmp_path):
+    from avid_cma_tpu.train.eval_loop import run_action_recognition
+
+    ecfg = finetune_cfg()
+    mcfg = model_cfg(tmp_path)
+    results = run_action_recognition(ecfg, mcfg, fold=1, debug=True)
+    for k in ("clip@1", "clip@5", "video@1", "video@5"):
+        assert k in results and np.isfinite(results[k])
+
+    eval_dir = os.path.join(
+        str(tmp_path), "smoke", "eval-ucf-smoke", "fold-01"
+    )
+    # per-epoch saves + best tracking (reference model_best.pth.tar)
+    best_path = os.path.join(eval_dir, "best.json")
+    assert os.path.isfile(best_path), "best checkpoint metadata missing"
+    best = json.load(open(best_path))
+    assert best["step"] >= 0 and best["top1"] >= 0.0
+    assert os.path.isdir(os.path.join(eval_dir, "orbax_best"))
+
+    # restore (test_only) must reproduce the final metrics exactly: same
+    # params, deterministic eval preprocessing
+    ecfg2 = finetune_cfg()
+    ecfg2["test_only"] = True
+    results2 = run_action_recognition(ecfg2, mcfg, fold=1, debug=True)
+    np.testing.assert_allclose(results2["clip@1"], results["clip@1"])
+    np.testing.assert_allclose(results2["video@1"], results["video@1"])
+
+
+def test_linear_probe_multi_tap(tmp_path):
+    from avid_cma_tpu.train.eval_loop import run_linear_probe
+
+    split = {"split": "trainlist{fold:02d}", "mode": "clip",
+             "clips_per_video": 1, "use_augmentation": True,
+             "use_shuffle": True, "drop_last": True}
+    test = {"split": "testlist{fold:02d}", "mode": "clip",
+            "clips_per_video": 1, "use_augmentation": False,
+            "use_shuffle": False, "drop_last": False}
+    ecfg = from_dict({
+        "seed": 0, "num_workers": 1, "test_only": False, "resume": False,
+        "benchmark": {"name": "probe-smoke"},
+        "dataset": {
+            "name": "ucf101", "backend": "synthetic", "synthetic_size": 16,
+            "fold": 1, "batch_size": 8, "clip_duration": 0.25,
+            "video_fps": 8.0, "crop_size": 32,
+            "train": split, "test": test,
+        },
+        "optimizer": {
+            "name": "adam", "num_epochs": 1, "weight_decay": 0.0,
+            "lr": {"name": "multistep", "base_lr": 1e-3, "gamma": 1.0,
+                   "milestones": [1]},
+        },
+        "model": {
+            "name": "MOST",
+            "args": {"n_classes": 101,
+                     "feat_names": ["conv5x", "pool"],
+                     "pooling_ops": ["AdaptiveMaxPool3d((1, 1, 1))", None],
+                     "l2_norm": False, "use_bn": True, "use_dropout": False},
+        },
+    })
+    results = run_linear_probe(ecfg, model_cfg(tmp_path), fold=1, debug=True)
+    for ft in ("conv5x", "pool"):
+        assert "clip@1" in results[ft] and np.isfinite(results[ft]["clip@1"])

@@ -80,3 +80,52 @@ def test_run_pretraining_cma_resamples(tmp_path):
     state = run_pretraining(cfg, debug=True)
     assert state.bank.positive_set.shape == (16, 2)
     assert np.isfinite(float(state.bank.z))
+
+
+def test_run_pretraining_cma_sharded_bank_and_resume(tmp_path):
+    """AVID-CMA end-to-end with `loss.bank_sharding: sharded` (row-sharded
+    banks + positive set over the mesh), including an orbax resume of the
+    sharded state. Capability: SURVEY §2.3 memory-axis sharding; the
+    reference replicates banks per GPU (criterions/avid.py:88-101)."""
+    from avid_cma_tpu.train.loop import run_pretraining
+
+    cfg = pretrain_cfg(tmp_path, loss_name="AVID_CMA")
+    cfg.loss["bank_sharding"] = "sharded"
+    state = run_pretraining(cfg, debug=True)
+    n_dev = jax.device_count()
+    assert state.bank.view1_mem.shape[0] % n_dev == 0
+    assert state.bank.positive_set.shape[1] == 2
+    assert np.isfinite(float(state.bank.z))
+
+    cfg2 = pretrain_cfg(tmp_path, loss_name="AVID_CMA")
+    cfg2.loss["bank_sharding"] = "sharded"
+    cfg2["resume"] = True
+    state2 = run_pretraining(cfg2, debug=True)
+    assert int(state2.step) == int(state.step)
+    np.testing.assert_allclose(
+        np.asarray(state2.bank.view1_mem), np.asarray(state.bank.view1_mem),
+        rtol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state2.bank.positive_set), np.asarray(state.bank.positive_set)
+    )
+
+
+def test_cma_warmstart_from_framework_avid_run(tmp_path):
+    """Torch-free CMA init: run_pretraining(AVID) then run_pretraining(
+    AVID_CMA) consuming the AVID run's orbax output directly (reference
+    capability: criterions/avid_cma.py:308-319 restores from .pth.tar)."""
+    from avid_cma_tpu.train.loop import run_pretraining
+
+    avid_cfg = pretrain_cfg(tmp_path)
+    avid_state = run_pretraining(avid_cfg, debug=True)
+
+    cma_cfg = pretrain_cfg(tmp_path, loss_name="AVID_CMA")
+    cma_cfg.model["name"] = "smoke-cma"
+    cma_cfg.loss["args"]["checkpoint"] = str(tmp_path / "smoke")
+    cma_state = run_pretraining(cma_cfg, debug=True)
+    # CMA inherited the AVID run's frozen partition function (banks move
+    # during CMA training; Z stays frozen once estimated)
+    np.testing.assert_allclose(
+        float(cma_state.bank.z), float(avid_state.bank.z), rtol=1e-6
+    )
