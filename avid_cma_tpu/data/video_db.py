@@ -44,6 +44,7 @@ class VideoDataset:
         host_video_transform: Optional[Callable] = None,
         host_audio_transform: Optional[Callable] = None,
         max_retries: int = 100,
+        seed: Optional[int] = 0,
     ):
         assert mode in ("clip", "video")
         self.backend = backend
@@ -66,16 +67,34 @@ class VideoDataset:
         self.host_audio_transform = host_audio_transform
         self.max_retries = max_retries
         self.num_samples = len(self.video_fns)
+        # deterministic per-(seed, epoch, index) snippet sampling: exact
+        # resume/test_only reproducibility (the reference relies on global
+        # torch/python RNG state, main-avid.py:52-60 seeding). seed=None
+        # falls back to the global `random` stream.
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Vary clip sampling across epochs (loader propagates this)."""
+        self._epoch = epoch
 
     # -- temporal sampling ------------------------------------------------
 
-    def _sample_snippet(self, duration: float) -> Tuple[float, float]:
+    def _item_rng(self, index: int, attempt: int):
+        if self.seed is None:
+            return random
+        # stable integer mix (hash() is salted per-process and would break
+        # determinism across loader worker processes / restarts)
+        mix = ((int(self.seed) + 1) * 1_000_003 + int(self._epoch)) * 1_000_003
+        return random.Random((mix + int(index)) * 131 + int(attempt))
+
+    def _sample_snippet(self, duration: float, rng=random) -> Tuple[float, float]:
         """(video_start, audio_start) within a stream of `duration` secs
         (reference: video_db.py:186-217)."""
         if not self.return_audio:
             if self.video_clip_duration > duration:
                 return 0.0, 0.0
-            ss = random.uniform(0.0, duration - self.video_clip_duration)
+            ss = rng.uniform(0.0, duration - self.video_clip_duration)
             return ss, ss
 
         long_d = max(self.audio_clip_duration, self.video_clip_duration)
@@ -83,12 +102,12 @@ class VideoDataset:
         max_ss = duration - long_d
         if max_ss <= 0:
             return 0.0, 0.0
-        ss_long = random.uniform(0.0, max_ss)
+        ss_long = rng.uniform(0.0, max_ss)
         win_min = max(ss_long - self.max_offsync_augm, 0.0)
         win_max = min(
             ss_long + long_d + self.max_offsync_augm - short_d, duration - short_d
         )
-        ss_short = random.uniform(win_min, max(win_max, win_min))
+        ss_short = rng.uniform(win_min, max(win_max, win_min))
         if self.audio_clip_duration >= self.video_clip_duration:
             return ss_short, ss_long
         return ss_long, ss_short
@@ -121,13 +140,18 @@ class VideoDataset:
                 fn = self.video_fns[sample_idx].decode()
                 try:
                     meta = self.backend.get_meta(fn)
-                    v_ss, a_ss = self._sample_snippet(meta.duration)
+                except Exception:
+                    continue  # skip to next index (video_db.py:96-107)
+                v_ss, a_ss = self._sample_snippet(
+                    meta.duration, self._item_rng(index, attempt)
+                )
+                try:
                     sample = self._decode(
                         fn, v_ss, a_ss,
                         self.video_clip_duration, self.audio_clip_duration,
                     )
                 except Exception:
-                    continue  # skip to next index (video_db.py:96-107)
+                    continue  # decode failure: retry the next index
                 if self.return_labels:
                     sample["label"] = self.labels[sample_idx]
                 if self.return_index:
