@@ -33,6 +33,10 @@ class PreprocessConfig:
     normalize_spectrogram: bool = True
     # 'auto': fused Pallas kernel on TPU, XLA path elsewhere
     spectrogram_backend: str = "auto"  # auto | pallas | xla
+    # augmentation compute dtype: 'auto' = bfloat16 on TPU (halves the
+    # HBM traffic of the crop/jitter chain; bf16 mantissa matches the
+    # 8-bit source), float32 elsewhere (reference-parity tests run there)
+    video_dtype: str = "auto"  # auto | float32 | bfloat16
 
     @property
     def hop_size(self) -> float:
@@ -44,6 +48,13 @@ class PreprocessConfig:
         if self.spectrogram_backend == "xla":
             return False
         return jax.default_backend() not in ("cpu",)
+
+    def resolve_video_dtype(self):
+        if self.video_dtype == "float32":
+            return jnp.float32
+        if self.video_dtype == "bfloat16":
+            return jnp.bfloat16
+        return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
 
 
 @partial(jax.jit, static_argnames=("cfg", "train"))
@@ -58,6 +69,7 @@ def preprocess_batch(
     out = dict(batch)
     k_vid, k_vol = jax.random.split(key)
     if "frames" in batch:
+        vdtype = cfg.resolve_video_dtype()
         if train:
             out["frames"] = augment_clips_train(
                 k_vid,
@@ -65,9 +77,12 @@ def preprocess_batch(
                 crop_size=cfg.crop_size,
                 min_area=cfg.min_area,
                 color=cfg.color,
+                dtype=vdtype,
             )
         else:
-            out["frames"] = augment_clips_eval(batch["frames"], crop_size=cfg.crop_size)
+            out["frames"] = augment_clips_eval(
+                batch["frames"], crop_size=cfg.crop_size, dtype=vdtype
+            )
     if "audio" in batch:
         wav = batch["audio"]
         if train and cfg.volume_jitter > 0:

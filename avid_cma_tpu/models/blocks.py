@@ -19,6 +19,8 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from avid_cma_tpu.ops.conv3d import Conv1x1x1, Conv3D
+
 # Torch BatchNorm defaults: eps=1e-5, running-stat update rate 0.1
 # (flax `momentum` is the retain rate: new = momentum*old + (1-momentum)*batch).
 BN_MOMENTUM = 0.9
@@ -89,51 +91,45 @@ class BasicR2P1DBlock(nn.Module):
         spt_stride = (1, self.stride[1], self.stride[2])
         tmp_stride = (self.stride[0], 1, 1)
 
-        h = nn.Conv(
+        h = Conv3D(
             self.out_planes,
             kernel_size=(1, 3, 3),
             strides=spt_stride,
             padding=_pad((1, 3, 3)),
-            use_bias=False,
             dtype=self.dtype,
             name="spt_conv1",
         )(x)
         h = nn.relu(batch_norm(train, name="spt_bn1", dtype=self.dtype)(h))
-        h = nn.Conv(
+        h = Conv3D(
             self.out_planes,
             kernel_size=(3, 1, 1),
             strides=tmp_stride,
             padding=_pad((3, 1, 1)),
-            use_bias=False,
             dtype=self.dtype,
             name="tmp_conv1",
         )(h)
         h = nn.relu(batch_norm(train, name="tmp_bn1", dtype=self.dtype)(h))
 
-        h = nn.Conv(
+        h = Conv3D(
             self.out_planes,
             kernel_size=(1, 3, 3),
             padding=_pad((1, 3, 3)),
-            use_bias=False,
             dtype=self.dtype,
             name="spt_conv2",
         )(h)
         h = nn.relu(batch_norm(train, name="spt_bn2", dtype=self.dtype)(h))
-        h = nn.Conv(
+        h = Conv3D(
             self.out_planes,
             kernel_size=(3, 1, 1),
             padding=_pad((3, 1, 1)),
-            use_bias=False,
             dtype=self.dtype,
             name="tmp_conv2",
         )(h)
 
         if in_planes != self.out_planes or any(s != 1 for s in self.stride):
-            res = nn.Conv(
+            res = Conv1x1x1(
                 self.out_planes,
-                kernel_size=(1, 1, 1),
                 strides=self.stride,
-                use_bias=False,
                 dtype=self.dtype,
                 name="res_conv",
             )(x)

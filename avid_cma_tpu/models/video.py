@@ -17,6 +17,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from avid_cma_tpu.models.blocks import BasicR2P1DBlock, _pad, batch_norm
+from avid_cma_tpu.ops.conv3d import Conv3D
 from avid_cma_tpu.registry import MODELS
 
 # Per-depth stage configurations: number of blocks per stage
@@ -48,13 +49,13 @@ class R2Plus1D(nn.Module):
         assert self.depth in _STAGE_BLOCKS, f"unsupported depth {self.depth}"
 
         # Full-3D stem: conv (3,7,7) stride (1,2,2) + maxpool (1,3,3)/(1,2,2)
-        # (reference: models/video.py:19-24).
-        h = nn.Conv(
+        # (reference: models/video.py:19-24). MXU-shaped temporal-tap-stack
+        # formulation (ops/conv3d.py) — parameters identical to nn.Conv.
+        h = Conv3D(
             64,
             kernel_size=(3, 7, 7),
             strides=(1, 2, 2),
             padding=_pad((3, 7, 7)),
-            use_bias=False,
             dtype=self.dtype,
             name="conv1",
         )(x)

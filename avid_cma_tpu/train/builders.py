@@ -69,6 +69,7 @@ def build_preprocess_config(db_cfg: Config) -> PreprocessConfig:
         n_fft=int(db_cfg.get("n_fft", 512)),
         spectrogram_fps=float(db_cfg.get("spectrogram_fps", 100.0)),
         audio_clip_duration=float(db_cfg.get("audio_clip_duration", 2.0)),
+        video_dtype=str(db_cfg.get("video_dtype", "auto")),
     )
 
 
