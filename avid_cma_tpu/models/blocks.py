@@ -42,6 +42,56 @@ def _pad(k: Sequence[int]) -> Tuple[Tuple[int, int], ...]:
     return tuple((d // 2, d // 2) for d in k)
 
 
+class StemBNReLUPool(nn.Module):
+    """BatchNorm -> ReLU -> MaxPool3d((1,3,3), s(1,2,2), p(0,1,1)) as one
+    fused op (reference models/video.py:22-24).
+
+    Parameter/collection layout is identical to nn.BatchNorm (params
+    scale/bias, batch_stats mean/var; stats in float32, flax var formula
+    mean(x^2) - mean(x)^2, retain-rate momentum), so checkpoints are
+    unchanged. The normalize+relu+pool runs through the scale_relu_pool
+    custom-VJP op (ops/pallas/stem_pool.py): the XLA composition by
+    default, or a validated single-pass Pallas kernel with
+    AVID_STEM_POOL=pallas (slower than XLA's fusions on v5e — see the
+    kernel module docstring for measurements)."""
+
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        from jax import lax
+
+        from avid_cma_tpu.ops.pallas.stem_pool import scale_relu_pool
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2, 3))
+            mean2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2, 3))
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        a = scale * lax.rsqrt(var + self.epsilon)
+        b = bias - mean * a
+        return scale_relu_pool(x, a, b)
+
+
 class Basic2DBlock(nn.Module):
     """conv3x3-BN-ReLU x2, no residual (reference: models/network_blocks.py:13-27)."""
 

@@ -16,7 +16,7 @@ from typing import Dict, Tuple, Union
 import flax.linen as nn
 import jax.numpy as jnp
 
-from avid_cma_tpu.models.blocks import BasicR2P1DBlock, _pad, batch_norm
+from avid_cma_tpu.models.blocks import BasicR2P1DBlock, StemBNReLUPool, _pad
 from avid_cma_tpu.ops.conv3d import Conv3D
 from avid_cma_tpu.registry import MODELS
 
@@ -59,13 +59,9 @@ class R2Plus1D(nn.Module):
             dtype=self.dtype,
             name="conv1",
         )(x)
-        h = nn.relu(batch_norm(train, name="bn1", dtype=self.dtype)(h))
-        x_c1 = nn.max_pool(
-            h,
-            window_shape=(1, 3, 3),
-            strides=(1, 2, 2),
-            padding=((0, 0), (1, 1), (1, 1)),
-        )
+        # BN + ReLU + max-pool fused into one pass over the 411 MB stem
+        # activation (Pallas on TPU; see ops/pallas/stem_pool.py)
+        x_c1 = StemBNReLUPool(name="bn1")(h, train=train)
 
         taps = {"conv1": x_c1}
         h = x_c1
