@@ -43,11 +43,13 @@ FORMS = {
     "proj": "xla3d",     # matmul | xla3d
 }
 # In-graph A/B on the FULL fused train step (v5e, b32, 224^2, bf16,
-# clips/s): all-xla3d 459.0 | stem=tstack 454.3 | spatial=fold2d 339.6 |
-# proj=matmul 454.7 | all-alternates 332.6. Isolated-op microbenchmarks
-# show the opposite ordering (tstack 1.4x, fold2d 1.1x): XLA already
-# picks good layouts inside the big program, and the fold/stack reshapes
-# defeat its conv fusions there. Defaults therefore stay on xla3d.
+# clips/s): all-xla3d 459.0 | stem=tstack 454.3 | stem=s2d 451.9 |
+# spatial=fold2d 339.6 | proj=matmul 454.7 | all-alternates 332.6.
+# Isolated-op microbenchmarks show the opposite ordering (tstack 1.4x,
+# fold2d 1.1x): XLA already picks good layouts inside the big program
+# (the stem uses the input-feature-packed-in-sublanes emitter, and BN
+# stats fuse into the conv output), and the fold/stack/space-to-depth
+# reshapes defeat those fusions. Defaults therefore stay on xla3d.
 
 
 def _conv3d_direct(x, w, strides, padding):
@@ -81,6 +83,72 @@ def conv3d_tstack(x: jnp.ndarray, w: jnp.ndarray,
     w2 = jnp.concatenate([w[dt] for dt in range(kt)], axis=2)  # (kh,kw,kt*C,F)
     out = _conv2d(xs.reshape(b * t, h, wd, kt * c), w2, (sh, sw), [ph, pw])
     return out.reshape(b, t, out.shape[1], out.shape[2], -1)
+
+
+def conv3d_s2d(x: jnp.ndarray, w: jnp.ndarray,
+               strides: Tuple[int, int, int],
+               padding: Sequence[Tuple[int, int]]) -> jnp.ndarray:
+    """Space-to-depth reformulation of the stem conv (kh=kw odd, spatial
+    stride 2, SAME padding, even H/W).
+
+    The (3,7,7)/s(1,2,2) stem conv runs at ~13 TF/s on the MXU because
+    C_in=3 leaves the systolic array's input-feature dimension nearly
+    empty. Packing each 2x2 spatial block into channels (C -> 4C = 12)
+    and turning the conv into (3,4,4)/s(1,1,1) is the standard TPU fix
+    (same multiply-adds, 4x the input-feature occupancy).
+
+    Identity: out[h] = sum_u w[u] x[2h+u-p] with p=k//2. Zero-padding
+    the kernel to k+1 taps (front when p is odd, back when even) and
+    splitting even/odd gives wk[j, ph] = wp[2j+ph], a ((k+1)/2)-tap
+    stride-1 conv over the s2d grid with padding (ceil(p/2),
+    K'-1-ceil(p/2)). Applied independently to H and W. Parameters stay
+    in the reference (kt,kh,kw,C,F) layout; the transform is traced, so
+    gradients land in the original layout exactly.
+    """
+    b, t, h, wd, c = x.shape
+    kt, kh, kw = w.shape[:3]
+    f = w.shape[-1]
+    xs = (
+        x.reshape(b, t, h // 2, 2, wd // 2, 2, c)
+        .transpose(0, 1, 2, 4, 3, 5, 6)
+        .reshape(b, t, h // 2, wd // 2, 4 * c)
+    )
+    k_h, k_w = (kh + 1) // 2, (kw + 1) // 2
+    p_h, p_w = kh // 2, kw // 2
+    wp = jnp.pad(
+        w,
+        (
+            (0, 0),
+            (1, 0) if p_h % 2 == 1 else (0, 1),
+            (1, 0) if p_w % 2 == 1 else (0, 1),
+            (0, 0),
+            (0, 0),
+        ),
+    )
+    wk = (
+        wp.reshape(kt, k_h, 2, k_w, 2, c, f)
+        .transpose(0, 1, 3, 2, 4, 5, 6)
+        .reshape(kt, k_h, k_w, 4 * c, f)
+    )
+    ph_l = (p_h + 1) // 2
+    pw_l = (p_w + 1) // 2
+    return jax.lax.conv_general_dilated(
+        xs, wk,
+        window_strides=(strides[0], 1, 1),
+        padding=[padding[0], (ph_l, k_h - 1 - ph_l), (pw_l, k_w - 1 - pw_l)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def _s2d_applicable(x, w, strides, padding) -> bool:
+    kt, kh, kw = w.shape[:3]
+    return (
+        strides[1] == 2 and strides[2] == 2
+        and kh % 2 == 1 and kw % 2 == 1
+        and tuple(padding[1]) == (kh // 2, kh // 2)
+        and tuple(padding[2]) == (kw // 2, kw // 2)
+        and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
+    )
 
 
 def conv3d_spatial(x: jnp.ndarray, w: jnp.ndarray,
@@ -151,6 +219,8 @@ class Conv3D(nn.Module):
             return conv3d_temporal(x, w, self.strides, pad)
         # full 3D (stem). Temporal stride 1 in every reference config;
         # fall back to XLA's direct form otherwise.
+        if FORMS["stem"] == "s2d" and _s2d_applicable(x, w, self.strides, pad):
+            return conv3d_s2d(x, w, self.strides, pad)
         if FORMS["stem"] == "tstack" and self.strides[0] == 1:
             return conv3d_tstack(x, w, self.strides, pad)
         return _conv3d_direct(x, w, self.strides, pad)
