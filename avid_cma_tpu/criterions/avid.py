@@ -194,17 +194,22 @@ def avid_forward(
             scores["v2v"] = (sc(video_emb, bank_v, y1), sc(video_emb, bank_v, neg_idx))
             scores["a2a"] = (sc(audio_emb, bank_a, y1), sc(audio_emb, bank_a, neg_idx))
     else:
-        pos_v = bank_v[y][:, None, :]  # (bs, 1, D)
-        pos_a = bank_a[y][:, None, :]
-        neg_v = bank_v[neg_idx]  # (bs, K, D)
-        neg_a = bank_a[neg_idx]
+        # gather_scores = XLA gather+einsum by default (identical math to
+        # _scores), or the fused Pallas gather kernel with
+        # AVID_NCE_SCORES=pallas (see ops/pallas/nce_gather.py)
+        from avid_cma_tpu.ops.pallas.nce_gather import gather_scores
+
+        y1 = y[:, None]  # (bs, 1)
+
+        def sc(query, bank, idx):
+            return gather_scores(bank, idx, query, cfg.temperature)
 
         if xmodal:
-            scores["v2a"] = _scores(video_emb, pos_a, neg_a, cfg.temperature)
-            scores["a2v"] = _scores(audio_emb, pos_v, neg_v, cfg.temperature)
+            scores["v2a"] = (sc(video_emb, bank_a, y1), sc(video_emb, bank_a, neg_idx))
+            scores["a2v"] = (sc(audio_emb, bank_v, y1), sc(audio_emb, bank_v, neg_idx))
         if wmodal:
-            scores["v2v"] = _scores(video_emb, pos_v, neg_v, cfg.temperature)
-            scores["a2a"] = _scores(audio_emb, pos_a, neg_a, cfg.temperature)
+            scores["v2v"] = (sc(video_emb, bank_v, y1), sc(video_emb, bank_v, neg_idx))
+            scores["a2a"] = (sc(audio_emb, bank_a, y1), sc(audio_emb, bank_a, neg_idx))
 
     # Z freezes from the first head's negatives on the first step, in the
     # reference's head-insertion order (shared NCECriterion instance,

@@ -1,0 +1,157 @@
+"""Pallas TPU kernel: fused NCE bank-gather + score (SURVEY §2.2).
+
+The NCE hot path scores each query embedding against its drawn negative
+bank rows (reference criterions/avid.py:65-66: `bank[neg_idx]` gather
+then bmm, /temperature). Under XLA that materializes the gathered
+(B, K, D) tensor in HBM (B32 x K1024 x D128 f32 = 16 MB per head, four
+heads with CMA) and reads it back for the bmm. This kernel fuses the
+two: per (query, negative-tile) grid step it DMAs the TK indexed bank
+rows HBM->VMEM directly (scalar-prefetched indices drive the copies,
+one counted semaphore overlaps them) and emits the (1, TK) score tile
+from a thin MXU matmul — the gathered rows never round-trip HBM.
+
+Status (v5e-1, B=32, K=1024, D=128, N=232k, f32, profiler device
+times): fused fwd 1.355 ms vs XLA gather+einsum 0.282 ms. XLA's native
+dynamic-gather emitter beats per-row DMA issue from the scalar core at
+D=128 row granularity (512 B copies, 32k of them), and the 16 MB
+intermediate the fusion avoids is cheap at this scale. Default
+therefore stays on the XLA path (AVID_NCE_SCORES=pallas opts in); the
+kernel is kept as the repo's reference pattern for scalar-prefetch-
+driven dynamic gathers, the building block a sharded-bank fused gather
+would start from. Numerics: both paths within 1.3e-5 of the f64 ground
+truth at this scale (the kernel's dots run at Precision.HIGHEST — the
+default bf16-pass MXU path loses ~2.6e-3 relative).
+
+Only the forward is fused: scores are taken against a stop_gradient'ed
+bank (reference semantics — no gradient flows into the bank from the
+loss, criterions/avid.py:47-80), so the backward only needs d_query,
+which is one small matmul per query over the SAME gathered rows; the
+custom VJP recomputes it with XLA's gather (16 MB, once).
+
+Geometry: B % 8 == 0 (Mosaic sublane minimum) and K % TK == 0 with
+TK in {128, 64, ..., 1}; D is the embedding dim (128 in every
+reference config). Anything else falls back to the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+QB = 8  # queries per block (Mosaic needs >=8 sublanes per block)
+
+
+def _kernel(idx_ref, q_ref, bank_ref, out_ref, rows_ref, sem, *, tk, temp):
+    bb = pl.program_id(0)
+    t = pl.program_id(1)
+
+    def start(i, _):
+        qi, k = i // tk, i % tk
+        row = idx_ref[bb * QB + qi, t * tk + k]
+        pltpu.make_async_copy(bank_ref.at[row], rows_ref.at[i], sem).start()
+        return _
+
+    jax.lax.fori_loop(0, QB * tk, start, 0)
+
+    def wait(i, _):
+        qi, k = i // tk, i % tk
+        row = idx_ref[bb * QB + qi, t * tk + k]
+        pltpu.make_async_copy(bank_ref.at[row], rows_ref.at[i], sem).wait()
+        return _
+
+    jax.lax.fori_loop(0, QB * tk, wait, 0)
+
+    # Mosaic has no batched dot — unroll the QB query rows as 2D dots
+    rows = rows_ref[...].reshape(QB, tk, -1)     # (QB, TK, D)
+    q = q_ref[...]
+    parts = [
+        jax.lax.dot_general(
+            q[qi : qi + 1], rows[qi],
+            (((1,), (1,)), ((), ())),            # contract D
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        for qi in range(QB)
+    ]                                            # QB x (1, TK)
+    out_ref[...] = jnp.concatenate(parts, axis=0) * (1.0 / temp)
+
+
+def _pick_tk(k: int) -> int:
+    for tk in (128, 64, 32, 16, 8, 4, 2, 1):
+        if k % tk == 0:
+            return tk
+    return 0
+
+
+def _pallas_scores(bank, idx, query, temperature: float):
+    bsz, k = idx.shape
+    n, d = bank.shape
+    tk = _pick_tk(k)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz // QB, k // tk),
+        in_specs=[
+            pl.BlockSpec((QB, d), lambda b, t, idx_ref: (b, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((QB, tk), lambda b, t, idx_ref: (b, t)),
+        scratch_shapes=[
+            pltpu.VMEM((QB * tk, d), bank.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, tk=tk, temp=float(temperature)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, k), jnp.float32),
+    )(idx, query, bank)
+
+
+def _xla_scores(bank, idx, query, temperature: float):
+    """Reference XLA path: materialized gather + einsum (what
+    criterions/avid.py:_scores does)."""
+    rows = bank[idx]  # (B, K, D)
+    return jnp.einsum("bd,bkd->bk", query, rows) / temperature
+
+
+def _use_pallas() -> bool:
+    return (
+        os.environ.get("AVID_NCE_SCORES", "xla") == "pallas"
+        and jax.default_backend() not in ("cpu",)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gather_scores(bank, idx, query, temperature: float):
+    """scores[b, k] = <bank[idx[b, k]], query[b]> / temperature.
+
+    bank (N, D) and idx (B, K) are gradient-free (bank rows come in
+    stop_gradient'ed); query (B, D) carries gradient.
+    """
+    if (
+        _use_pallas()
+        and _pick_tk(idx.shape[1]) > 0
+        and idx.shape[0] % QB == 0
+    ):
+        return _pallas_scores(bank, idx, query, temperature)
+    return _xla_scores(bank, idx, query, temperature)
+
+
+def _fwd(bank, idx, query, temperature):
+    return gather_scores(bank, idx, query, temperature), (bank, idx)
+
+
+def _bwd(temperature, res, g):
+    bank, idx = res
+    rows = bank[idx]  # (B, K, D) — one XLA gather in the backward only
+    dq = jnp.einsum("bk,bkd->bd", g, rows) / temperature
+    return (None, None, dq.astype(g.dtype))
+
+
+gather_scores.defvjp(_fwd, _bwd)

@@ -28,6 +28,7 @@ Env knobs: BENCH_BATCH, BENCH_STEPS, BENCH_WINDOWS, BENCH_DTYPE=bf16|f32,
 BENCH_SKIP_224, BENCH_SKIP_112, BENCH_PEAK_TFLOPS.
 """
 
+import functools
 import json
 import os
 import time
@@ -98,7 +99,10 @@ def measure(batch, crop, frames, steps, windows, dtype, dtype_name):
     inner_step = make_train_step(model, cfg, opt, mesh)
 
     # ONE dispatch per step: preprocessing fused into the step program.
-    @jax.jit
+    # State donated at THIS outer jit (the inner jit's donation doesn't
+    # apply once inlined): params/opt-state/banks update in place instead
+    # of being copied every step.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def fused_step(state, raw_batch, i):
         b = preprocess_batch(jax.random.fold_in(key, i), raw_batch, pp, train=True)
         return inner_step(state, b)
