@@ -144,14 +144,20 @@ def gather_scores(bank, idx, query, temperature: float):
 
 
 def _fwd(bank, idx, query, temperature):
-    return gather_scores(bank, idx, query, temperature), (bank, idx)
+    # dtype carrier: residuals must be JAX types, so keep an empty slice
+    # of the query to recover its dtype in the backward
+    q_proto = query[:0]
+    return gather_scores(bank, idx, query, temperature), (bank, idx, q_proto)
 
 
 def _bwd(temperature, res, g):
-    bank, idx = res
+    bank, idx, q_proto = res
+    q_dtype = q_proto.dtype
     rows = bank[idx]  # (B, K, D) — one XLA gather in the backward only
     dq = jnp.einsum("bk,bkd->bd", g, rows) / temperature
-    return (None, None, dq.astype(g.dtype))
+    # cotangent must carry the PRIMAL's dtype (a bf16 query under mixed
+    # precision), not the f32 score dtype
+    return (None, None, dq.astype(q_dtype))
 
 
 gather_scores.defvjp(_fwd, _bwd)

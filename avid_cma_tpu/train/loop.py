@@ -43,7 +43,7 @@ from avid_cma_tpu.train.state import TrainState
 from avid_cma_tpu.train.step import (
     init_train_state,
     make_eval_loss_step,
-    make_train_step,
+    make_fused_train_step,
 )
 from avid_cma_tpu.utils.logger import (
     AverageMeter,
@@ -146,8 +146,11 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
         state = ckpt.restore(state)
         logger.add_line(f"resumed from step {int(state.step)}")
 
-    train_step = make_train_step(
-        model, crit_cfg, optimizer, mesh, bank_sharding=bank_sharding
+    # preprocessing traced into the step program (one dispatch/batch),
+    # state donated at the top-level jit (in-place HBM updates)
+    train_step = make_fused_train_step(
+        model, crit_cfg, optimizer, mesh, pp_cfg, seed,
+        bank_sharding=bank_sharding,
     )
     eval_step = None
     optimizer_mesh = mesh
@@ -204,9 +207,7 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
         t0 = time.time()
         for it, batch in enumerate(loader):
             meters["data_t"].update(time.time() - t0)
-            key = jax.random.fold_in(jax.random.key(seed + 1), host_step)
-            batch = preprocess_batch(key, batch, pp_cfg, train=True)
-            state, metrics = train_step(state, batch)
+            state, metrics = train_step(state, batch, host_step)
             pending_losses.append((metrics["loss"], batch["index"].shape[0]))
             host_step += 1
             # preemption-safe mid-epoch checkpointing (TPU preemption is

@@ -15,6 +15,7 @@ carried state stays replica-identical.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict, Optional, Tuple, Union
 
 import jax
@@ -145,6 +146,43 @@ def make_train_step(
         return sharded(state, batch["frames"], batch["audio"], batch["index"])
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_fused_train_step(
+    model,
+    criterion_cfg: CriterionConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    pp_cfg,
+    seed: int,
+    axis: str = DATA_AXIS,
+    bank_sharding: str = "replicated",
+):
+    """Train step with device preprocessing traced INTO the step program:
+    one dispatch per batch (augmentation/spectrogram fuse with the model
+    program) and the train state donated at the top-level jit so
+    params/opt-state/banks update in place in HBM (an inner jit's
+    donate_argnums does not survive inlining).
+
+    Call as `fused(state, raw_batch, step_i)` with the loader's raw
+    {frames: uint8, audio: f32, index} batch; step_i (host-side step
+    counter) derives the per-batch augmentation key, and is a traced
+    scalar — no recompilation per step."""
+    from avid_cma_tpu.data.pipelines import preprocess_batch
+
+    inner = make_train_step(
+        model, criterion_cfg, optimizer, mesh,
+        axis=axis, donate=False, bank_sharding=bank_sharding,
+    )
+    base_key = jax.random.key(seed + 1)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fused(state: TrainState, raw_batch: Batch, step_i):
+        key = jax.random.fold_in(base_key, step_i)
+        batch = preprocess_batch(key, raw_batch, pp_cfg, train=True)
+        return inner(state, batch)
+
+    return fused
 
 
 def make_eval_loss_step(

@@ -28,7 +28,6 @@ Env knobs: BENCH_BATCH, BENCH_STEPS, BENCH_WINDOWS, BENCH_DTYPE=bf16|f32,
 BENCH_SKIP_224, BENCH_SKIP_112, BENCH_PEAK_TFLOPS.
 """
 
-import functools
 import json
 import os
 import time
@@ -65,7 +64,7 @@ def measure(batch, crop, frames, steps, windows, dtype, dtype_name):
     from avid_cma_tpu.models import av_wrapper
     from avid_cma_tpu.parallel.mesh import make_mesh
     from avid_cma_tpu.train.optim import build_optimizer, multistep_schedule
-    from avid_cma_tpu.train.step import init_train_state, make_train_step
+    from avid_cma_tpu.train.step import init_train_state, make_fused_train_step
 
     mesh = make_mesh()
     model = av_wrapper(
@@ -96,16 +95,9 @@ def measure(batch, crop, frames, steps, windows, dtype, dtype_name):
     key = jax.random.key(0)
     sample = preprocess_batch(key, raw, pp, train=True)
     state = init_train_state(key, model, sample, opt, cfg)
-    inner_step = make_train_step(model, cfg, opt, mesh)
-
-    # ONE dispatch per step: preprocessing fused into the step program.
-    # State donated at THIS outer jit (the inner jit's donation doesn't
-    # apply once inlined): params/opt-state/banks update in place instead
-    # of being copied every step.
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def fused_step(state, raw_batch, i):
-        b = preprocess_batch(jax.random.fold_in(key, i), raw_batch, pp, train=True)
-        return inner_step(state, b)
+    # the production fused step: ONE dispatch per batch (preprocessing
+    # traced into the program), train state donated (in-place updates)
+    fused_step = make_fused_train_step(model, cfg, opt, mesh, pp, seed=0)
 
     raw_dev = jax.device_put(raw)  # the input pipeline would keep batches
     # on device via double-buffered prefetch; don't measure cold H2D.
