@@ -253,6 +253,23 @@ def import_criterion_orbax(path: str) -> BankState:
     )
 
 
+def import_model_orbax(path: str) -> Dict[str, Any]:
+    """Restore model variables (params + batch_stats) from a pretrain run
+    done IN THIS FRAMEWORK — the model half of the torch-free AVID->CMA
+    chain (reference warm-starts from the AVID .pth.tar,
+    utils/eval_utils.py:337-339). `path` as in import_criterion_orbax."""
+    orbax_dir = path
+    if os.path.isdir(os.path.join(path, "orbax")):
+        orbax_dir = os.path.join(path, "orbax")
+    raw = CheckpointManager(orbax_dir).restore_raw()
+    if raw is None:
+        raise FileNotFoundError(f"no orbax checkpoint under {orbax_dir}")
+    return {
+        "params": raw["params"],
+        "batch_stats": raw.get("batch_stats", {}),
+    }
+
+
 def export_pth_tar(
     variables: Dict[str, Any],
     path: str,

@@ -411,7 +411,9 @@ def _train_epochs(
             if debug and it >= 2:
                 break
         drain()
-        state = state.replace(epoch=jnp.int32(epoch + 1))
+        # on-device epoch derivation: a fresh host scalar would force a
+        # per-epoch recompile of the jitted step (see train/loop.py)
+        state = state.replace(epoch=state.epoch * 0 + (epoch + 1))
         if on_epoch_end is not None:
             on_epoch_end(state, epoch)
     return state
@@ -573,7 +575,9 @@ def run_linear_probe(
                 break
         drain()
         # per-epoch save: probes survive preemption mid-run
-        state = state.replace(epoch=jnp.int32(epoch + 1))
+        # on-device epoch derivation: a fresh host scalar would force a
+        # per-epoch recompile of the jitted step (see train/loop.py)
+        state = state.replace(epoch=state.epoch * 0 + (epoch + 1))
         ckpt.save(max(host_step, 1), state)
 
     # per-tap clip eval

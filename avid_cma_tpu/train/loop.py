@@ -36,6 +36,7 @@ from avid_cma_tpu.train.checkpoint import (
     CheckpointManager,
     import_criterion_orbax,
     import_criterion_pth_tar,
+    import_model_orbax,
     import_model_pth_tar,
 )
 from avid_cma_tpu.train.optim import build_from_config
@@ -121,8 +122,13 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
     # backbone warm-start from a reference/exported .pth.tar (the AVID-CMA
     # configs point model.args.checkpoint at the AVID pretrain checkpoint)
     model_ck = cfg.model.get("args", {}).get("checkpoint")
-    if model_ck and os.path.isfile(model_ck):
-        variables = import_model_pth_tar(model_ck)
+    if model_ck and (os.path.isfile(model_ck) or os.path.isdir(model_ck)):
+        # .pth.tar (reference interop) or a model_dir/orbax directory
+        # from a pretrain run done in this framework (torch-free chain)
+        if os.path.isdir(model_ck):
+            variables = import_model_orbax(model_ck)
+        else:
+            variables = import_model_pth_tar(model_ck)
         state = state.replace(
             params=variables["params"],
             batch_stats=variables.get("batch_stats", state.batch_stats),

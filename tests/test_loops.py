@@ -123,9 +123,28 @@ def test_cma_warmstart_from_framework_avid_run(tmp_path):
     cma_cfg = pretrain_cfg(tmp_path, loss_name="AVID_CMA")
     cma_cfg.model["name"] = "smoke-cma"
     cma_cfg.loss["args"]["checkpoint"] = str(tmp_path / "smoke")
+    # model weights warm-start from the same orbax run (torch-free chain
+    # on the model side too, configs/smoke/avid-cma-synthetic.yaml)
+    cma_cfg.model["args"]["checkpoint"] = str(tmp_path / "smoke")
     cma_state = run_pretraining(cma_cfg, debug=True)
     # CMA inherited the AVID run's frozen partition function (banks move
     # during CMA training; Z stays frozen once estimated)
     np.testing.assert_allclose(
         float(cma_state.bank.z), float(avid_state.bank.z), rtol=1e-6
     )
+
+
+def test_import_model_orbax_roundtrip(tmp_path):
+    """import_model_orbax returns the params/batch_stats a framework
+    pretrain run saved (the model half of the torch-free chain)."""
+    from avid_cma_tpu.train.checkpoint import import_model_orbax
+    from avid_cma_tpu.train.loop import run_pretraining
+
+    cfg = pretrain_cfg(tmp_path)
+    state = run_pretraining(cfg, debug=True)
+    variables = import_model_orbax(str(tmp_path / "smoke"))
+    got = jax.tree_util.tree_leaves(variables["params"])
+    want = jax.tree_util.tree_leaves(state.params)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-6)
