@@ -174,7 +174,6 @@ def avid_forward(
     bank_a = jax.lax.stop_gradient(state.view2_mem)
 
     neg_idx = draw_negatives_uniform(key, y, cfg.num_negatives, cfg.num_data)
-    scores: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
     if bank_sharded:
         # idx/query are PER-REPLICA (each replica's own batch shard), so
         # bank accesses must go through the sharded-score psum — a plain
@@ -182,34 +181,26 @@ def avid_forward(
         from avid_cma_tpu.parallel.sharding import scores_sharded
 
         assert axis_name is not None, "sharded banks require a mesh axis"
-        y1 = y[:, None]  # (bs, 1)
 
         def sc(query, bank, idx):
             return scores_sharded(bank, idx, query, axis_name) / cfg.temperature
-
-        if xmodal:
-            scores["v2a"] = (sc(video_emb, bank_a, y1), sc(video_emb, bank_a, neg_idx))
-            scores["a2v"] = (sc(audio_emb, bank_v, y1), sc(audio_emb, bank_v, neg_idx))
-        if wmodal:
-            scores["v2v"] = (sc(video_emb, bank_v, y1), sc(video_emb, bank_v, neg_idx))
-            scores["a2a"] = (sc(audio_emb, bank_a, y1), sc(audio_emb, bank_a, neg_idx))
     else:
         # gather_scores = XLA gather+einsum by default (identical math to
         # _scores), or the fused Pallas gather kernel with
         # AVID_NCE_SCORES=pallas (see ops/pallas/nce_gather.py)
         from avid_cma_tpu.ops.pallas.nce_gather import gather_scores
 
-        y1 = y[:, None]  # (bs, 1)
-
         def sc(query, bank, idx):
             return gather_scores(bank, idx, query, cfg.temperature)
 
-        if xmodal:
-            scores["v2a"] = (sc(video_emb, bank_a, y1), sc(video_emb, bank_a, neg_idx))
-            scores["a2v"] = (sc(audio_emb, bank_v, y1), sc(audio_emb, bank_v, neg_idx))
-        if wmodal:
-            scores["v2v"] = (sc(video_emb, bank_v, y1), sc(video_emb, bank_v, neg_idx))
-            scores["a2a"] = (sc(audio_emb, bank_a, y1), sc(audio_emb, bank_a, neg_idx))
+    y1 = y[:, None]  # (bs, 1)
+    scores: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+    if xmodal:
+        scores["v2a"] = (sc(video_emb, bank_a, y1), sc(video_emb, bank_a, neg_idx))
+        scores["a2v"] = (sc(audio_emb, bank_v, y1), sc(audio_emb, bank_v, neg_idx))
+    if wmodal:
+        scores["v2v"] = (sc(video_emb, bank_v, y1), sc(video_emb, bank_v, neg_idx))
+        scores["a2a"] = (sc(audio_emb, bank_a, y1), sc(audio_emb, bank_a, neg_idx))
 
     # Z freezes from the first head's negatives on the first step, in the
     # reference's head-insertion order (shared NCECriterion instance,

@@ -43,8 +43,10 @@ FORMS = {
     "proj": "xla3d",     # matmul | xla3d
 }
 # In-graph A/B on the FULL fused train step (v5e, b32, 224^2, bf16,
-# clips/s): all-xla3d 459.0 | stem=tstack 454.3 | stem=s2d 451.9 |
+# clips/s; the chip is time-sliced so only same-session numbers are
+# comparable). Session A: all-xla3d 459.0 | stem=tstack 454.3 |
 # spatial=fold2d 339.6 | proj=matmul 454.7 | all-alternates 332.6.
+# Session B: all-xla3d 468.5 | stem=s2d 451.9. Full log: PERF.md.
 # Isolated-op microbenchmarks show the opposite ordering (tstack 1.4x,
 # fold2d 1.1x): XLA already picks good layouts inside the big program
 # (the stem uses the input-feature-packed-in-sublanes emitter, and BN

@@ -115,7 +115,9 @@ def _pallas_scores(bank, idx, query, temperature: float):
 
 def _xla_scores(bank, idx, query, temperature: float):
     """Reference XLA path: materialized gather + einsum (what
-    criterions/avid.py:_scores does)."""
+    criterions/avid.py:_scores does). Banks are always f32, so the
+    einsum promotes a bf16 query to f32 — both paths emit f32 scores
+    and the env knob is purely a performance switch."""
     rows = bank[idx]  # (B, K, D)
     return jnp.einsum("bd,bkd->bk", query, rows) / temperature
 

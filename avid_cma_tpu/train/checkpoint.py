@@ -232,20 +232,24 @@ def import_criterion_pth_tar(path: str) -> BankState:
     )
 
 
-def import_criterion_orbax(path: str) -> BankState:
-    """Restore banks + frozen Z from a pretrain run done IN THIS FRAMEWORK
-    (torch-free CMA warm-start; reference capability:
-    criterions/avid_cma.py:308-319 restores from the AVID .pth.tar).
-
-    `path` may be the run's model_dir (containing `orbax/`), the orbax
-    directory itself, or a specific step directory's parent."""
+def _restore_raw_orbax(path: str) -> Dict[str, Any]:
+    """Latest raw checkpoint of a framework pretrain run. `path` may be
+    the run's model_dir (containing `orbax/`), the orbax directory
+    itself, or a specific step directory's parent."""
     orbax_dir = path
     if os.path.isdir(os.path.join(path, "orbax")):
         orbax_dir = os.path.join(path, "orbax")
     raw = CheckpointManager(orbax_dir).restore_raw()
     if raw is None:
         raise FileNotFoundError(f"no orbax checkpoint under {orbax_dir}")
-    bank = raw["bank"]
+    return raw
+
+
+def import_criterion_orbax(path: str) -> BankState:
+    """Restore banks + frozen Z from a pretrain run done IN THIS FRAMEWORK
+    (torch-free CMA warm-start; reference capability:
+    criterions/avid_cma.py:308-319 restores from the AVID .pth.tar)."""
+    bank = _restore_raw_orbax(path)["bank"]
     return BankState(
         view1_mem=jnp.asarray(bank["view1_mem"]),
         view2_mem=jnp.asarray(bank["view2_mem"]),
@@ -257,13 +261,8 @@ def import_model_orbax(path: str) -> Dict[str, Any]:
     """Restore model variables (params + batch_stats) from a pretrain run
     done IN THIS FRAMEWORK — the model half of the torch-free AVID->CMA
     chain (reference warm-starts from the AVID .pth.tar,
-    utils/eval_utils.py:337-339). `path` as in import_criterion_orbax."""
-    orbax_dir = path
-    if os.path.isdir(os.path.join(path, "orbax")):
-        orbax_dir = os.path.join(path, "orbax")
-    raw = CheckpointManager(orbax_dir).restore_raw()
-    if raw is None:
-        raise FileNotFoundError(f"no orbax checkpoint under {orbax_dir}")
+    utils/eval_utils.py:337-339)."""
+    raw = _restore_raw_orbax(path)
     return {
         "params": raw["params"],
         "batch_stats": raw.get("batch_stats", {}),

@@ -411,9 +411,7 @@ def _train_epochs(
             if debug and it >= 2:
                 break
         drain()
-        # on-device epoch derivation: a fresh host scalar would force a
-        # per-epoch recompile of the jitted step (see train/loop.py)
-        state = state.replace(epoch=state.epoch * 0 + (epoch + 1))
+        state = state.with_epoch(epoch + 1)
         if on_epoch_end is not None:
             on_epoch_end(state, epoch)
     return state
@@ -575,9 +573,7 @@ def run_linear_probe(
                 break
         drain()
         # per-epoch save: probes survive preemption mid-run
-        # on-device epoch derivation: a fresh host scalar would force a
-        # per-epoch recompile of the jitted step (see train/loop.py)
-        state = state.replace(epoch=state.epoch * 0 + (epoch + 1))
+        state = state.with_epoch(epoch + 1)
         ckpt.save(max(host_step, 1), state)
 
     # per-tap clip eval

@@ -184,11 +184,7 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
             state = state.replace(bank=state.bank.replace(positive_set=pos))
 
         loader.set_epoch(epoch)
-        # derive the epoch counter ON DEVICE (state.epoch * 0 + epoch):
-        # a fresh host jnp.int32 scalar has a different layout/commit
-        # key than the step executable's outputs and forces a ~40 s
-        # recompile of the fused step at EVERY epoch boundary
-        state = state.replace(epoch=state.epoch * 0 + epoch)
+        state = state.with_epoch(epoch)
         meters = {
             "loss": AverageMeter("Loss", ":.4e"),
             "batch_t": AverageMeter("Time", ":.3f", window_size=100),
@@ -236,7 +232,7 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
             t0 = time.time()
         drain_losses()
 
-        state = state.replace(epoch=state.epoch * 0 + (epoch + 1))
+        state = state.with_epoch(epoch + 1)
         ckpt.save(int(state.step), state, milestone=(epoch + 1) in milestones)
         logger.add_line(f"epoch {epoch} done; checkpoint @ step {int(state.step)}")
 

@@ -32,3 +32,11 @@ class TrainState(struct.PyTreeNode):
         axis index on top inside SPMD code when per-replica keys are
         needed)."""
         return jax.random.fold_in(self.rng, self.step)
+
+    def with_epoch(self, epoch: int) -> "TrainState":
+        """Set the epoch counter by deriving it ON DEVICE from the
+        existing scalar (`epoch * 0 + n`). A fresh host-created
+        jnp.int32 would carry a different layout/commit key than the
+        step executable's outputs and force a full recompile of the
+        donated jitted step at every epoch boundary (~40 s each)."""
+        return self.replace(epoch=self.epoch * 0 + epoch)
