@@ -67,13 +67,29 @@ def from_dict(d: Mapping) -> Config:
     return _wrap(dict(d))
 
 
+def _coerce(raw: str) -> Any:
+    """Override-value coercion: numbers first, then YAML. YAML 1.1 parses
+    dot-less scientific notation ('1e-4') as a STRING, which would make
+    `--set optimizer.lr.base_lr=1e-4` silently set a str."""
+    s = raw.strip()
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    return yaml.safe_load(s)
+
+
 def load(path: str, overrides: list[str] | None = None) -> Config:
     """Load a YAML config file, optionally applying `key.path=value` overrides."""
     with open(path) as f:
         cfg = from_dict(yaml.safe_load(f))
     for ov in overrides or []:
         key, _, raw = ov.partition("=")
-        cfg.set_path(key.strip(), yaml.safe_load(raw))
+        cfg.set_path(key.strip(), _coerce(raw))
     return cfg
 
 

@@ -1,0 +1,87 @@
+"""Config system (avid_cma_tpu/config.py).
+
+The contract: the reference's YAML configs load VERBATIM (reference
+loads raw dicts, main-avid.py:50), plus attribute access, deep merge,
+and dotted CLI overrides with YAML type coercion.
+"""
+
+import os
+
+import pytest
+
+from avid_cma_tpu import config as config_lib
+from avid_cma_tpu.config import Config, from_dict, merge
+
+REFERENCE = "/root/reference"
+
+
+def test_reference_configs_load_verbatim():
+    """Every YAML the reference ships parses into the expected schema."""
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference not mounted")
+    import glob
+
+    paths = glob.glob(os.path.join(REFERENCE, "configs", "**", "*.yaml"),
+                      recursive=True)
+    assert len(paths) >= 13
+    for p in paths:
+        cfg = config_lib.load(p)
+        assert "dataset" in cfg and "optimizer" in cfg and "model" in cfg
+        assert cfg.model.name  # attribute access through nesting
+
+
+def test_attribute_access_and_missing_key():
+    cfg = from_dict({"a": {"b": 1}})
+    assert cfg.a.b == 1
+    with pytest.raises(AttributeError):
+        _ = cfg.a.nope
+    assert cfg.get_path("a.nope", 7) == 7
+    assert cfg.get_path("a.b") == 1
+
+
+def test_overrides_yaml_coercion(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("optimizer:\n  lr:\n    base_lr: 0.0002\n  num_epochs: 10\n")
+    cfg = config_lib.load(str(p), overrides=[
+        "optimizer.lr.base_lr=1e-4",          # float
+        "optimizer.num_epochs=3",             # int
+        "dataset.backend=synthetic",          # new nested path, str
+        "flag=true",                          # bool
+        "optimizer.lr.milestones=[1, 2]",     # list
+    ])
+    assert cfg.optimizer.lr.base_lr == pytest.approx(1e-4)
+    assert cfg.optimizer.num_epochs == 3
+    assert isinstance(cfg.optimizer.num_epochs, int)
+    assert cfg.dataset.backend == "synthetic"
+    assert cfg.flag is True
+    assert cfg.optimizer.lr.milestones == [1, 2]
+
+
+def test_deep_merge_preserves_untouched_branches():
+    base = {"a": {"x": 1, "y": 2}, "b": 3}
+    out = merge(base, {"a": {"y": 20}, "c": 4})
+    assert out.a.x == 1 and out.a.y == 20 and out.b == 3 and out.c == 4
+    assert base["a"]["y"] == 2  # base untouched
+
+
+def test_to_dict_roundtrip():
+    cfg = from_dict({"a": {"b": {"c": 1}}, "d": [1, {"e": 2}]})
+    d = cfg.to_dict()
+    assert d == {"a": {"b": {"c": 1}}, "d": [1, {"e": 2}]}
+    assert not isinstance(d["a"], Config)
+
+
+def test_cli_entry_parses_and_overrides(tmp_path):
+    """main_avid.py's --set semantics end-to-end at the parse layer."""
+    import subprocess
+    import sys
+
+    # parse-only probe: bad config path should fail cleanly, good --help
+    # must exit 0 and mention --set
+    r = subprocess.run(
+        [sys.executable, "main_avid.py", "--help"],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))
+    )
+    assert r.returncode == 0
+    assert "--set" in r.stdout
