@@ -183,6 +183,17 @@ def _replicate_over(state, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
 
 
+def _dump_eval_config(eval_cfg, eval_dir: str, logger) -> None:
+    """Persist the eval config into the eval dir and log it (reference
+    utils/eval_utils.py:28-30 + main_utils.py:51-58)."""
+    import yaml
+
+    os.makedirs(eval_dir, exist_ok=True)
+    with open(os.path.join(eval_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(eval_cfg.to_dict(), f)
+    logger.log_config(eval_cfg)
+
+
 def _preprocess_frames(batch, pp_cfg, key, train: bool):
     from avid_cma_tpu.data.pipelines import preprocess_batch
 
@@ -204,6 +215,7 @@ def run_action_recognition(
     )
     logger = Logger(path=os.path.join(eval_dir, "eval.log"))
     logger.add_line(f"finetune eval fold {fold} -> {eval_dir}")
+    _dump_eval_config(eval_cfg, eval_dir, logger)
 
     backbone, bb_vars = _load_backbone(model_cfg)
     mcfg = eval_cfg.model
@@ -482,6 +494,7 @@ def run_linear_probe(
         f"eval-{eval_cfg.benchmark['name']}", f"fold-{fold:02d}",
     )
     logger = Logger(path=os.path.join(eval_dir, "eval.log"))
+    _dump_eval_config(eval_cfg, eval_dir, logger)
 
     backbone, bb_vars = _load_backbone(model_cfg)
     margs = eval_cfg.model["args"]

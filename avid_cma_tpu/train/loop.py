@@ -51,6 +51,7 @@ from avid_cma_tpu.utils.logger import (
     Logger,
     ProgressMeter,
     TensorBoardWriter,
+    parameter_description,
 )
 
 
@@ -66,6 +67,7 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
     tb = TensorBoardWriter(os.path.join(model_dir, "tb"),
                            enabled=bool(cfg.get("log2tb", False)))
     logger.add_line(f"devices={n_dev} mesh={mesh.shape} seed={seed}")
+    logger.log_config(cfg)
 
     db_cfg = cfg.dataset
     if debug:
@@ -119,6 +121,7 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
     sample = next(iter(loader))
     sample = preprocess_batch(jax.random.key(0), sample, pp_cfg, train=True)
     state = init_train_state(jax.random.key(seed), model, sample, optimizer)
+    logger.add_line(parameter_description(state.params))
     # backbone warm-start from a reference/exported .pth.tar (the AVID-CMA
     # configs point model.args.checkpoint at the AVID pretrain checkpoint)
     model_ck = cfg.model.get("args", {}).get("checkpoint")

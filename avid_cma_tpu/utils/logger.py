@@ -41,6 +41,38 @@ class Logger:
             self.fp.write(content + "\n")
             self.fp.flush()
 
+    def log_config(self, cfg) -> None:
+        """Full config dump at startup (reference utils/main_utils.py:51-58)."""
+        self.add_line("=" * 30 + "   Config   " + "=" * 30)
+
+        def walk(d, indent=""):
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    self.add_line(f"{indent}{k}")
+                    walk(v, indent + "  ")
+                else:
+                    self.add_line(f"{indent}{k}: {v}")
+
+        walk(dict(cfg))
+
+
+def parameter_description(params) -> str:
+    """Per-parameter table: name | shape | #elements, plus the total
+    (reference utils/main_utils.py:334-340 logs this at startup)."""
+    import jax
+
+    lines, total = [], 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        name = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        n = int(np.prod(leaf.shape)) if leaf.shape else 1
+        total += n
+        shape = " x ".join(str(s) for s in leaf.shape) or "scalar"
+        lines.append(f"{name:70} | {shape:30} | {n}")
+    lines.append(f"{'TOTAL':70} | {'':30} | {total}")
+    return "\n".join(lines)
+
 
 class AverageMeter:
     """Running / windowed average (reference: utils/metrics_utils.py:29-58)."""
