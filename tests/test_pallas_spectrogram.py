@@ -1,8 +1,9 @@
 """Fused Pallas spectrogram kernel vs the XLA reference path.
 
-On the CPU test mesh the kernel runs in interpreter mode; on real TPU it
-was additionally validated compiled (3.6e-5 max abs err, ~18x faster
-than the XLA path at batch 8)."""
+On the CPU test mesh the kernel runs in interpreter mode; on real TPU
+it was additionally validated compiled (round 2: 4.4e-5 max abs err at
+b32, device time 1.188 ms vs 1.185 ms for the XLA path — parity; the
+round-1 '18x' was a dispatch-level artifact, see PERF.md)."""
 
 import jax
 import jax.numpy as jnp
