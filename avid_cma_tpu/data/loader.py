@@ -230,6 +230,10 @@ class MultiprocessDataLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         import os
 
+        # captured up front: if this generator is finalized during
+        # interpreter shutdown, the os module's attributes may already be
+        # torn down (None) when the finally block runs
+        _kill, _waitpid = os.kill, os.waitpid
         batches = list(self.sampler)
         name = f"/avid_ring_{os.getpid()}_{id(self) & 0xFFFF}"
         ring = self._native.ShmRing(
@@ -285,11 +289,11 @@ class MultiprocessDataLoader:
                 if pid <= 0:  # already reaped; os.kill(0, ...) would
                     continue  # signal the whole process group
                 try:
-                    os.kill(pid, 9)
+                    _kill(pid, 9)
                 except (ProcessLookupError, PermissionError):
                     pass
                 try:
-                    os.waitpid(pid, 0)
+                    _waitpid(pid, 0)
                 except ChildProcessError:
                     pass
             ring.free()
