@@ -213,7 +213,8 @@ def run_action_recognition(
         model_cfg["model_dir"], model_cfg["name"],
         f"eval-{eval_cfg.benchmark['name']}", f"fold-{fold:02d}",
     )
-    logger = Logger(path=os.path.join(eval_dir, "eval.log"))
+    logger = Logger(path=os.path.join(eval_dir, "eval.log"),
+                    quiet=bool(eval_cfg.get("quiet")))
     logger.add_line(f"finetune eval fold {fold} -> {eval_dir}")
     _dump_eval_config(eval_cfg, eval_dir, logger)
 
@@ -493,7 +494,8 @@ def run_linear_probe(
         model_cfg["model_dir"], model_cfg["name"],
         f"eval-{eval_cfg.benchmark['name']}", f"fold-{fold:02d}",
     )
-    logger = Logger(path=os.path.join(eval_dir, "eval.log"))
+    logger = Logger(path=os.path.join(eval_dir, "eval.log"),
+                    quiet=bool(eval_cfg.get("quiet")))
     _dump_eval_config(eval_cfg, eval_dir, logger)
 
     backbone, bb_vars = _load_backbone(model_cfg)

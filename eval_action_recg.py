@@ -16,8 +16,17 @@ def main():
     p.add_argument("model_cfg")
     p.add_argument("--fold", type=int, default=None)
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--test-only", dest="test_only", action="store_true",
+                   help="skip training; evaluate the saved checkpoint")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--quiet", action="store_true")
     p.add_argument("--set", dest="overrides", action="append", default=[])
     args = p.parse_args()
+    # flag parity with the reference CLI (eval-action-recg.py:21-24);
+    # the loops read these as config keys
+    for flag in ("test_only", "resume", "quiet"):
+        if getattr(args, flag):
+            args.overrides.append(f"{flag}=true")
 
     eval_cfg = config_lib.load(args.eval_cfg, overrides=args.overrides)
     model_cfg = config_lib.load(args.model_cfg).model
