@@ -51,6 +51,7 @@ class AVIDCMAConfig:
     wModalPosCoeff: float = 1.0
     pos_k: int = 32
     sampling_type: str = "consensus"
+    mining_exact: bool = True  # False: approx_max_k top-k (mining.py)
     resample_freq: int = -1
     temperature: float = TEMPERATURE
 

@@ -55,6 +55,7 @@ def build_criterion_config(loss_cfg: Config, embedding_dim: int = 128):
             embedding_dim=embedding_dim,
             pos_k=sampling.get("pos_k", 32),
             sampling_type=sampling.get("type", "consensus"),
+            mining_exact=bool(sampling.get("exact", True)),
             **args,
         )
     raise ValueError(f"unknown criterion '{name}'")

@@ -181,6 +181,7 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
                 v2 = unshard_bank(v2, crit_cfg.num_data)
             pos = mine_positives(
                 v1, v2, crit_cfg.pos_k, crit_cfg.sampling_type, mesh=mesh,
+                exact=crit_cfg.mining_exact,
             ).astype(jnp.int32)
             if bank_sharding == "sharded":
                 pos = shard_bank(pos, mesh)
@@ -332,7 +333,7 @@ def _init_bank(loss_cfg: Config, crit_cfg, mesh, seed: int, logger: Logger,
         )
         pos = mine_positives(
             bank.view1_mem, bank.view2_mem, crit_cfg.pos_k,
-            crit_cfg.sampling_type, mesh=mesh,
+            crit_cfg.sampling_type, mesh=mesh, exact=crit_cfg.mining_exact,
         )
         return finalize(cma_state_from_bank(bank, pos))
     return finalize(bank)

@@ -70,3 +70,29 @@ def test_alias_sampler_uniform_edge():
     draws = np.asarray(sampler.draw(jax.random.key(5), (70_000,)))
     freq = np.bincount(draws, minlength=7) / draws.size
     np.testing.assert_allclose(freq, np.full(7, 1 / 7), atol=0.01)
+
+
+def test_mining_approx_mode_plumbing():
+    """exact=False (loss.args.sampling_args.exact) routes the sweep's
+    top-k through lax.approx_max_k; on small N the candidate sets still
+    essentially match the exact sweep (the mode exists for 1.78M-row
+    AudioSet banks where the exact TopK dominates the sweep, PERF.md)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from avid_cma_tpu.criterions.mining import mine_positives
+
+    rng = np.random.default_rng(0)
+    n, d, k = 300, 16, 8
+    bv = rng.normal(size=(n, d)).astype(np.float32)
+    bv /= np.linalg.norm(bv, axis=1, keepdims=True)
+    ba = rng.normal(size=(n, d)).astype(np.float32)
+    ba /= np.linalg.norm(ba, axis=1, keepdims=True)
+    exact = np.asarray(mine_positives(jnp.asarray(bv), jnp.asarray(ba), k))
+    approx = np.asarray(
+        mine_positives(jnp.asarray(bv), jnp.asarray(ba), k, exact=False)
+    )
+    assert approx.shape == exact.shape
+    # recall of the approx sets vs exact
+    hits = sum(len(set(a) & set(e)) for a, e in zip(approx, exact))
+    assert hits / exact.size > 0.95
