@@ -42,6 +42,55 @@ def _resize_clip(clip: np.ndarray, h: int, w: int) -> np.ndarray:
     )
 
 
+class RandomDrop:
+    """Keep `num_frames` random frames, in order
+    (video_transforms.py:36-48)."""
+
+    def __init__(self, num_frames: int):
+        self.num_frames = num_frames
+
+    def __call__(self, clip):
+        t = len(clip)
+        assert t >= self.num_frames
+        if t == self.num_frames:
+            return clip
+        idx = sorted(random.sample(range(t), k=self.num_frames))
+        return clip[np.asarray(idx)]
+
+
+class UniformDrop:
+    """Uniformly subsample to `num_frames`, or stride by `ss_ratio`
+    (video_transforms.py:51-68)."""
+
+    def __init__(self, num_frames: Optional[int] = None,
+                 ss_ratio: Optional[float] = None):
+        self.num_frames = num_frames
+        self.ss_ratio = ss_ratio
+
+    def __call__(self, clip):
+        t = len(clip)
+        if self.num_frames is not None:
+            if t <= self.num_frames:
+                return clip
+            idx = np.linspace(0, t - 1, self.num_frames, endpoint=True)
+            return clip[idx.astype(int)]
+        if self.ss_ratio is not None and self.ss_ratio != 1:
+            return clip[np.arange(0, t, self.ss_ratio).astype(int)]
+        return clip
+
+
+class RandomResize:
+    """Scale by a random factor in `ratio` (video_transforms.py:127-158)."""
+
+    def __init__(self, ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0)):
+        self.ratio = ratio
+
+    def __call__(self, clip):
+        s = random.uniform(self.ratio[0], self.ratio[1])
+        t, h, w, c = clip.shape
+        return _resize_clip(clip, int(h * s), int(w * s))
+
+
 class Resize:
     """Short-side (scalar) or exact (tuple) resize
     (video_transforms.py:159-180 semantics)."""

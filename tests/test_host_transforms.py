@@ -62,3 +62,33 @@ def test_full_msc_cj_pipeline():
     fn_eval = ht.video_prep_msc_cj(crop=32, augment=False)
     out = fn_eval(_clip())
     assert out.shape == (4, 32, 32, 3)
+
+
+def test_random_drop_keeps_order():
+    from avid_cma_tpu.data.host_transforms import RandomDrop
+
+    clip = np.arange(10)[:, None, None, None] * np.ones((1, 4, 4, 3), np.uint8)
+    out = RandomDrop(6)(clip)
+    assert out.shape == (6, 4, 4, 3)
+    vals = out[:, 0, 0, 0].astype(int)
+    assert list(vals) == sorted(vals)  # temporal order preserved
+    assert len(set(vals.tolist())) == 6
+
+
+def test_uniform_drop_modes():
+    from avid_cma_tpu.data.host_transforms import UniformDrop
+
+    clip = np.arange(10)[:, None, None, None] * np.ones((1, 4, 4, 3), np.uint8)
+    out = UniformDrop(num_frames=5)(clip)
+    assert list(out[:, 0, 0, 0]) == [0, 2, 4, 6, 9]  # np.linspace endpoints
+    out2 = UniformDrop(ss_ratio=2)(clip)
+    assert list(out2[:, 0, 0, 0]) == [0, 2, 4, 6, 8]
+    assert UniformDrop(ss_ratio=1)(clip).shape == clip.shape
+
+
+def test_random_resize_scales_within_ratio():
+    from avid_cma_tpu.data.host_transforms import RandomResize
+
+    clip = np.zeros((2, 40, 60, 3), np.uint8)
+    out = RandomResize(ratio=(0.5, 0.5))(clip)
+    assert out.shape == (2, 20, 30, 3)
