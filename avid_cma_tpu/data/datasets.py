@@ -33,6 +33,24 @@ def _resolve_backend(backend, **synth_kwargs) -> DecodeBackend:
     return make_backend(backend or "auto", **synth_kwargs)
 
 
+def _guard_real_listing(be: DecodeBackend, backend_arg) -> None:
+    """Refuse to pair a REAL media listing with an implicitly-resolved
+    synthetic decoder: 'auto' on a codec-less host would otherwise
+    fabricate frames from path hashes and produce plausible but fake
+    metrics against the real labels. Explicit backend='synthetic' (or a
+    passed-in SyntheticBackend instance) remains allowed for tests."""
+    explicit = backend_arg == "synthetic" or isinstance(
+        backend_arg, SyntheticBackend
+    )
+    if isinstance(be, SyntheticBackend) and not explicit:
+        raise RuntimeError(
+            "dataset has a real media listing but no real decoder is "
+            "available (PyAV/ffmpeg missing). Refusing to decode real "
+            "files with the synthetic backend; install a decoder or set "
+            "dataset.backend=synthetic explicitly."
+        )
+
+
 def _synthetic_listing(prefix: str, n: int, n_classes: int = 0):
     fns = [f"{prefix}/video_{i:06d}.mp4" for i in range(n)]
     labels = [i % n_classes for i in range(n)] if n_classes else None
@@ -57,8 +75,14 @@ class Kinetics(VideoDataset):
         self.subset = subset
         be = _resolve_backend(backend)
         if root and os.path.isdir(os.path.join(root, subset)):
+            _guard_real_listing(be, backend)
             base = os.path.join(root, subset)
-            classes = sorted(os.listdir(base))
+            # directories only: a stray file (README, .DS_Store) would
+            # shift every label index after it out of the 400-class range
+            classes = sorted(
+                d for d in os.listdir(base)
+                if os.path.isdir(os.path.join(base, d))
+            )
             fns = sorted(glob.glob(f"{base}/*/*.mp4"))
             labels = [classes.index(fn.split("/")[-2]) for fn in fns]
             self.classes = classes
@@ -132,6 +156,7 @@ class AudioSet(VideoDataset):
         ) and not isinstance(be, SyntheticBackend):
             cache_path = AUDIOSET_CACHE
         if cache_path and os.path.isfile(os.path.join(cache_path, f"{subset}.txt")):
+            _guard_real_listing(be, backend)
             with open(os.path.join(cache_path, f"{subset}.txt")) as f:
                 fns = [ln.strip().split()[0] for ln in f if ln.strip()]
             if root and os.path.isdir(root):
@@ -167,6 +192,7 @@ class _SplitFileDataset(VideoDataset):
         self.name = name
         self.subset = subset
         be = _resolve_backend(backend)
+        self._backend_arg = backend
         fns, labels = self._load_split(root, anno_path, subset, be, synthetic_size)
         self.num_videos = len(fns)
         self.num_classes = len(self.classes)
@@ -191,6 +217,7 @@ class UCF(_SplitFileDataset):
 
     def _load_split(self, root, anno_path, subset, be, synthetic_size):
         if anno_path and os.path.isfile(os.path.join(anno_path, f"{subset}.txt")):
+            _guard_real_listing(be, self._backend_arg)
             with open(os.path.join(anno_path, "classInd.txt")) as f:
                 self.classes = [ln.strip().split()[1] for ln in f if ln.strip()]
             with open(os.path.join(anno_path, f"{subset}.txt")) as f:
@@ -220,6 +247,7 @@ class HMDB(_SplitFileDataset):
         # subset format: "train-split1" | "test-split1" (main_utils builds
         # these from the benchmark configs)
         if anno_path and os.path.isdir(anno_path):
+            _guard_real_listing(be, self._backend_arg)
             which, split = subset.split("-")
             tag = "1" if which == "train" else "2"
             split_files = sorted(

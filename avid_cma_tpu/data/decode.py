@@ -217,10 +217,18 @@ class FFmpegCLIBackend(DecodeBackend):
     def __init__(self):
         if shutil.which("ffmpeg") is None or shutil.which("ffprobe") is None:
             raise RuntimeError("ffmpeg/ffprobe not on PATH")
+        # per-path metadata cache: get_meta spawns an ffprobe subprocess,
+        # and every clip load of the same file needs the same answer
+        # (clip-mode training probes each file once per epoch otherwise,
+        # dense eval 25+ times)
+        self._meta_cache: dict = {}
 
     def get_meta(self, path: str) -> VideoMeta:
         import json
 
+        cached = self._meta_cache.get(path)
+        if cached is not None:
+            return cached
         out = subprocess.run(
             ["ffprobe", "-v", "error", "-print_format", "json",
              "-show_streams", "-show_format", path],
@@ -230,13 +238,15 @@ class FFmpegCLIBackend(DecodeBackend):
         v = next(s for s in info["streams"] if s["codec_type"] == "video")
         a = next((s for s in info["streams"] if s["codec_type"] == "audio"), None)
         num, den = v["avg_frame_rate"].split("/")
-        return VideoMeta(
+        meta = VideoMeta(
             duration=float(info["format"]["duration"]),
             video_fps=float(num) / float(den),
             audio_fps=int(a["sample_rate"]) if a else 0,
             width=int(v["width"]),
             height=int(v["height"]),
         )
+        self._meta_cache[path] = meta
+        return meta
 
     def load_video(self, path, start, duration, fps) -> np.ndarray:
         meta = self.get_meta(path)
@@ -287,5 +297,15 @@ def make_backend(name: str = "auto", **kwargs) -> DecodeBackend:
                 return cls()
             except Exception:
                 continue
+        # no real decoder available: fall back to synthetic, but LOUDLY —
+        # silently fabricating frames on a host with real media mounted
+        # would produce plausible-looking but fake training/eval numbers
+        import warnings
+
+        warnings.warn(
+            "decode backend 'auto': neither PyAV nor ffmpeg is available; "
+            "falling back to the SYNTHETIC backend (procedurally generated "
+            "frames/audio). Set dataset.backend explicitly to silence this."
+        )
         return SyntheticBackend(**kwargs)
     raise ValueError(f"unknown decode backend '{name}'")

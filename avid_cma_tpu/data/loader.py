@@ -128,8 +128,19 @@ class DataLoader:
                     continue
             return False
 
+        # producers may run at most `window` batches ahead of the
+        # consumer: without this, one slow worker lets the others race
+        # arbitrarily far ahead and the out-of-order reorder buffer
+        # (`pending`) grows unboundedly in host memory
+        window = max(4, 2 * self.num_workers)
+        ahead = threading.Condition()
+        consumed = [0]
+
         def produce(worker_id: int):
             for bi in range(worker_id, len(batches), self.num_workers):
+                with ahead:
+                    while bi - consumed[0] >= window and not stop.is_set():
+                        ahead.wait(0.2)
                 if stop.is_set():
                     return
                 try:
@@ -168,8 +179,13 @@ class DataLoader:
                     raise item
                 yield item
                 next_bi += 1
+                with ahead:
+                    consumed[0] = next_bi
+                    ahead.notify_all()
         finally:
             stop.set()
+            with ahead:
+                ahead.notify_all()
             # drain so any worker blocked in put() can observe stop
             try:
                 while True:
@@ -190,6 +206,13 @@ class MultiprocessDataLoader:
 
     Requires a fork-capable platform and the native toolchain
     (native.available()); use the threaded DataLoader otherwise.
+
+    Known bound gap (vs the threaded loader's producer window): the
+    consumer's out-of-order reorder buffer is only bounded by relative
+    worker skew, not a hard cap — gating producers on consumer progress
+    across processes needs a consumed-counter in the ring header
+    (native/shm_ring.cc), not yet implemented. In-flight ring batches
+    themselves are bounded by n_slots.
     """
 
     def __init__(

@@ -67,6 +67,7 @@ class VideoDataset:
         self.host_audio_transform = host_audio_transform
         self.max_retries = max_retries
         self.num_samples = len(self.video_fns)
+        self.decode_failures = 0  # dense-mode videos scored as zeros
         # deterministic per-(seed, epoch, index) snippet sampling: exact
         # resume/test_only reproducibility (the reference relies on global
         # torch/python RNG state, main-avid.py:52-60 seeding). seed=None
@@ -159,11 +160,28 @@ class VideoDataset:
                 return sample
             raise RuntimeError(f"no decodable sample near index {index}")
 
-        # dense 'video' mode (video_db.py:109-151)
+        # dense 'video' mode (video_db.py:109-151). Unlike the reference
+        # (which crashes the whole dense eval on one corrupt test video),
+        # decode failures yield zero-filled chunks with the correct label
+        # and a loud warning — the video scores as a miss instead of
+        # killing the run after hours of finetuning.
         fn = self.video_fns[index].decode()
-        meta = self.backend.get_meta(fn)
-        duration = meta.duration
-        sample = self._decode(fn, 0.0, 0.0, duration, duration)
+        try:
+            meta = self.backend.get_meta(fn)
+            duration = meta.duration
+            sample = self._decode(fn, 0.0, 0.0, duration, duration)
+        except Exception as e:
+            import warnings
+
+            warnings.warn(
+                f"dense decode failed for {fn!r} ({type(e).__name__}: {e}); "
+                "scoring it as zeros"
+            )
+            self.decode_failures += 1
+            sample = {
+                "frames": np.zeros((1, 16, 16, 3), np.uint8),
+                "audio": np.zeros((1,), np.float32),
+            }
         chunks: Dict[str, np.ndarray] = {}
         if self.return_video:
             frames = sample["frames"]
@@ -180,9 +198,17 @@ class VideoDataset:
         return chunks
 
     def _chunk(self, arr: np.ndarray, chunk_size: int, axis: int) -> np.ndarray:
+        """Fixed-shape dense chunking. Videos shorter than one clip are
+        padded by looping to chunk_size (the reference returns the short
+        array and relies on its transforms' pad-by-loop,
+        preprocessing.py:53-59 — padding here keeps every video's chunk
+        tensor the same shape, so the jitted eval never recompiles)."""
         n = arr.shape[axis]
         if chunk_size >= n:
-            return np.stack([arr] * self.clips_per_video)
+            reps = -(-chunk_size // n)
+            tiled = np.concatenate([arr] * reps, axis=axis)
+            tiled = np.take(tiled, np.arange(chunk_size), axis=axis)
+            return np.stack([tiled] * self.clips_per_video)
         starts = np.linspace(0, max(n - chunk_size, 1), self.clips_per_video).astype(int)
         return np.stack(
             [np.take(arr, np.arange(s, s + chunk_size), axis=axis) for s in starts]

@@ -44,12 +44,12 @@ from avid_cma_tpu.utils.logger import AverageMeter, Logger, ProgressMeter, accur
 # ---------------------------------------------------------------------------
 
 def classifier_only_mask(params) -> dict:
-    """True = trainable. Warmup trains everything except the backbone
-    (reference filters 'feature_extractor' params, eval-action-recg.py:77)."""
-    def mask(path, _):
-        return "feature_extractor" not in [str(getattr(p, "key", p)) for p in path]
+    """True = trainable. One source of truth for the freeze rule:
+    models/eval_wrappers.py:classifier_param_filter (reference filters
+    'feature_extractor' params, eval-action-recg.py:77)."""
+    from avid_cma_tpu.models.eval_wrappers import classifier_param_filter
 
-    return jax.tree_util.tree_map_with_path(mask, params)
+    return jax.tree_util.tree_map_with_path(classifier_param_filter, params)
 
 
 def make_supervised_train_step(
@@ -304,6 +304,12 @@ def run_action_recognition(
             best = _json.load(f)
 
     full_template = state.replace(opt_state=full_opt.init(state.params))
+    if eval_cfg.get("test_only") and ckpt.latest_step() is None:
+        # silently training a fresh head under --test-only would report
+        # warmup-quality numbers as if they were the checkpoint's
+        raise FileNotFoundError(
+            f"test_only requested but no eval checkpoint under {eval_dir}"
+        )
     restored = (
         bool(eval_cfg.get("resume") or eval_cfg.get("test_only"))
         and ckpt.latest_step() is not None
@@ -367,7 +373,8 @@ def run_action_recognition(
         final_test_ds, db, final_test_cfg, workers
     )
 
-    logits_fn = make_logits_fn(model, mesh)
+    # reuse the logits_fn compiled during the per-epoch test phases —
+    # rebuilding it here would discard the warm jit cache and recompile
     clip_top1, clip_top5 = _clip_eval(state, logits_fn, test_loader, pp_cfg)
     video_top1, video_top5 = _dense_eval(
         state, logits_fn, dense_ds, pp_cfg,
@@ -550,6 +557,10 @@ def run_linear_probe(
     # saves, utils/eval_utils.py:245-295; orbax saves the full state here —
     # a superset that also restores BN stats exactly)
     ckpt = CheckpointManager(os.path.join(eval_dir, "orbax"))
+    if eval_cfg.get("test_only") and ckpt.latest_step() is None:
+        raise FileNotFoundError(
+            f"test_only requested but no probe checkpoint under {eval_dir}"
+        )
     if (eval_cfg.get("resume") or eval_cfg.get("test_only")) and (
         ckpt.latest_step() is not None
     ):
@@ -620,8 +631,20 @@ def run_linear_probe(
         tap_scores = {ft: [] for ft in model.feat_names}
         dense_labels = []
         batch_clips = int(db["batch_size"])
-        for vi in range(n_videos):
-            sample = dense_ds[vi]
+        # whole-video decode dominates dense-eval wall-clock: feed videos
+        # through the prefetching loader like _dense_eval, not a
+        # single-thread __getitem__ sweep
+        from avid_cma_tpu.data.loader import DataLoader as _Loader
+
+        dense_loader = _Loader(
+            dense_ds, batch_size=1, shuffle=False, drop_last=False,
+            num_workers=max(workers, 1),
+        )
+        for vi, batch1 in enumerate(dense_loader):
+            if vi >= n_videos:
+                break
+            sample = {"frames": batch1["frames"][0],
+                      "label": np.asarray(batch1["label"])[0]}
             frames = sample["frames"]
             probs = {ft: [] for ft in model.feat_names}
             for s in range(0, frames.shape[0], batch_clips):
