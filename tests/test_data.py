@@ -230,3 +230,80 @@ def test_audioset_availability_filter(tmp_path):
         return_labels=False, return_index=True,
     )
     assert len(ds) == 4
+
+
+def test_real_listing_refuses_implicit_synthetic(tmp_path):
+    """A real Kinetics root with backend='auto' on a codec-less host must
+    raise instead of silently decoding real files synthetically; explicit
+    backend='synthetic' stays allowed, and stray non-directory entries
+    don't shift label indices."""
+    import pytest as _pytest
+
+    from avid_cma_tpu.data.datasets import Kinetics
+
+    base = tmp_path / "train"
+    for cls in ("applauding", "zumba"):
+        (base / cls).mkdir(parents=True)
+        (base / cls / "v_000.mp4").touch()
+    (base / "README.txt").write_text("stray file")  # must not become a class
+
+    kw = dict(subset="train", root=str(tmp_path), mode="clip",
+              video_clip_duration=0.25, video_fps=8.0,
+              audio_clip_duration=0.5, audio_fps=24000,
+              return_labels=True, return_index=True)
+    with _pytest.raises(RuntimeError, match="synthetic"):
+        Kinetics(backend="auto", **kw)
+
+    ds = Kinetics(backend="synthetic", **kw)
+    assert ds.classes == ["applauding", "zumba"]
+    assert sorted(set(np.asarray(ds.labels))) == [0, 1]
+
+
+def test_dense_mode_survives_decode_failure():
+    """A corrupt video in dense eval scores as zeros with the right label
+    instead of killing the run (deliberate divergence: the reference
+    crashes, datasets/video_db.py:109-151)."""
+    import warnings
+
+    from avid_cma_tpu.data.decode import SyntheticBackend
+    from avid_cma_tpu.data.video_db import VideoDataset
+
+    class FlakyBackend(SyntheticBackend):
+        def get_meta(self, path):
+            if b"bad" in path if isinstance(path, bytes) else "bad" in path:
+                raise RuntimeError("corrupt container")
+            return super().get_meta(path)
+
+    ds = VideoDataset(
+        backend=FlakyBackend(duration=4.0, video_fps=8.0, height=32, width=40),
+        video_fns=["ok_0.mp4", "bad_1.mp4"], labels=[3, 7], mode="video",
+        video_clip_duration=0.5, video_fps=8.0, return_audio=False,
+        audio_clip_duration=0.5, audio_fps=24000,
+        return_labels=True, return_index=True, mode_clips_per_video=4,
+    )
+    good = ds[0]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        bad = ds[1]
+    assert ds.decode_failures == 1
+    assert bad["frames"].shape[0] == 4 and bad["label"] == 7
+    assert np.all(bad["frames"] == 0)
+    assert good["frames"].shape[:2] == bad["frames"].shape[:2]  # (clips, T)
+
+
+def test_dense_chunk_pads_short_videos():
+    """Videos shorter than one clip are padded by looping to the fixed
+    chunk length — constant shapes, no per-video jit recompiles."""
+    from avid_cma_tpu.data.decode import SyntheticBackend
+    from avid_cma_tpu.data.video_db import VideoDataset
+
+    ds = VideoDataset(
+        backend=SyntheticBackend(duration=0.25, video_fps=8.0,
+                                 height=32, width=40),
+        video_fns=["short.mp4"], labels=[1], mode="video",
+        video_clip_duration=1.0, video_fps=8.0, return_audio=False,
+        audio_clip_duration=0.5, audio_fps=24000,
+        return_labels=True, return_index=True, mode_clips_per_video=3,
+    )
+    out = ds[0]
+    assert out["frames"].shape == (3, 8, 32, 40, 3)  # full clip length
