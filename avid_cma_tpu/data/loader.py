@@ -207,12 +207,10 @@ class MultiprocessDataLoader:
     Requires a fork-capable platform and the native toolchain
     (native.available()); use the threaded DataLoader otherwise.
 
-    Known bound gap (vs the threaded loader's producer window): the
-    consumer's out-of-order reorder buffer is only bounded by relative
-    worker skew, not a hard cap — gating producers on consumer progress
-    across processes needs a consumed-counter in the ring header
-    (native/shm_ring.cc), not yet implemented. In-flight ring batches
-    themselves are bounded by n_slots.
+    Producers gate on the ring header's consumed counter
+    (ring_wait_window, native/shm_ring.cc): like the threaded loader,
+    they run at most `window` batches ahead of the consumer's yield
+    point, so the out-of-order reorder buffer is hard-capped.
     """
 
     def __init__(
@@ -263,6 +261,10 @@ class MultiprocessDataLoader:
             name, n_slots=self.n_slots, slot_bytes=self.slot_bytes
         )
         pids = []
+        # producers may run at most `window` batches ahead of the
+        # consumer's yield point (same bound as the threaded loader);
+        # enforced through the ring header's consumed counter
+        window = max(4, 2 * self.num_workers)
         try:
             for w in range(self.num_workers):
                 pid = os.fork()
@@ -271,6 +273,9 @@ class MultiprocessDataLoader:
                     try:
                         child = self._native.ShmRing(name, create=False)
                         for bi in range(w, len(batches), self.num_workers):
+                            if not child.wait_window(bi, window,
+                                                     timeout_ms=600_000):
+                                raise TimeoutError("consumer stalled")
                             batch = _collate(
                                 [self.dataset[i] for i in batches[bi]]
                             )
@@ -307,6 +312,7 @@ class MultiprocessDataLoader:
                     bi = int(batch.pop("__batch_index__"))
                     pending[bi] = batch
                 yield pending.pop(next_bi)
+                ring.set_consumed(next_bi + 1)  # wakes window-gated producers
         finally:
             for pid in pids:
                 if pid <= 0:  # already reaped; os.kill(0, ...) would

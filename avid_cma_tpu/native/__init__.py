@@ -55,6 +55,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ring_size.restype = ctypes.c_uint32
         lib.ring_size.argtypes = [ctypes.c_void_p]
         lib.ring_free.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.ring_wait_window.restype = ctypes.c_int
+        lib.ring_wait_window.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                         ctypes.c_uint64, ctypes.c_long]
+        lib.ring_set_consumed.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         _lib = lib
         return _lib
 
@@ -109,6 +113,20 @@ class ShmRing:
     def pop_batch(self, timeout_ms: int = 10_000) -> Optional[Dict[str, np.ndarray]]:
         raw = self.pop_bytes(timeout_ms)
         return None if raw is None else decode_batch(raw)
+
+    def wait_window(self, batch_index: int, window: int,
+                    timeout_ms: int = 60_000) -> bool:
+        """Producer-side gate: block until `batch_index` is within
+        `window` of the consumer's yielded count (bounds the consumer's
+        out-of-order reorder buffer). False on timeout."""
+        return self._lib.ring_wait_window(
+            self._h, batch_index, window, timeout_ms
+        ) == 0
+
+    def set_consumed(self, consumed: int) -> None:
+        """Consumer progress (batches YIELDED in order), wakes gated
+        producers."""
+        self._lib.ring_set_consumed(self._h, consumed)
 
     def close_producer(self) -> None:
         self._lib.ring_close_producer(self._h)

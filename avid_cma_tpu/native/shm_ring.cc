@@ -35,12 +35,15 @@ struct RingHeader {
   uint32_t tail;  // next slot to push
   uint32_t count;
   uint32_t closed;  // producers done; pops drain then return -2
+  uint64_t consumed;  // batches the consumer has YIELDED (not just popped);
+                      // producers gate on this so out-of-order reorder
+                      // buffering on the consumer side stays bounded
   pthread_mutex_t mutex;
   pthread_cond_t not_full;
   pthread_cond_t not_empty;
 };
 
-constexpr uint64_t kMagic = 0x52494e474d454d31ull;  // "RINGMEM1"
+constexpr uint64_t kMagic = 0x52494e474d454d32ull;  // "RINGMEM2"
 
 struct Ring {
   RingHeader* hdr;
@@ -206,11 +209,42 @@ long long ring_pop(void* handle, uint8_t* out, uint64_t out_cap, long timeout_ms
   return static_cast<long long>(len);
 }
 
+// Producer-side window gate: block until batch_index is within `window`
+// of the consumer's yielded count (or the ring is closed). 0 = proceed;
+// -1 = timeout.
+int ring_wait_window(void* handle, uint64_t batch_index, uint64_t window,
+                     long timeout_ms) {
+  auto* ring = static_cast<Ring*>(handle);
+  RingHeader* h = ring->hdr;
+  timespec ts;
+  make_abstime(&ts, timeout_ms);
+  if (lock(h) != 0) return -1;
+  while (!h->closed && batch_index >= h->consumed + window) {
+    if (pthread_cond_timedwait(&h->not_full, &h->mutex, &ts) == ETIMEDOUT) {
+      pthread_mutex_unlock(&h->mutex);
+      return -1;
+    }
+  }
+  pthread_mutex_unlock(&h->mutex);
+  return 0;
+}
+
+// Consumer progress notification (wakes window-gated producers).
+void ring_set_consumed(void* handle, uint64_t consumed) {
+  auto* ring = static_cast<Ring*>(handle);
+  if (lock(ring->hdr) == 0) {
+    if (consumed > ring->hdr->consumed) ring->hdr->consumed = consumed;
+    pthread_cond_broadcast(&ring->hdr->not_full);
+    pthread_mutex_unlock(&ring->hdr->mutex);
+  }
+}
+
 void ring_close_producer(void* handle) {
   auto* ring = static_cast<Ring*>(handle);
   if (lock(ring->hdr) == 0) {
     ring->hdr->closed = 1;
     pthread_cond_broadcast(&ring->hdr->not_empty);
+    pthread_cond_broadcast(&ring->hdr->not_full);  // wake window-gated producers
     pthread_mutex_unlock(&ring->hdr->mutex);
   }
 }

@@ -96,3 +96,24 @@ def test_multiprocess_loader_over_ring():
         assert b["audio"].shape == (2, 8000)
     idx = np.concatenate([b["index"] for b in batches])
     np.testing.assert_array_equal(idx, np.arange(6))
+
+
+def test_ring_window_gate():
+    """ring_wait_window blocks producers beyond the consumed+window
+    horizon and releases them as the consumer reports progress (the
+    hard cap on the consumer's out-of-order reorder buffer)."""
+    native = pytest.importorskip("avid_cma_tpu.native")
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    ring = native.ShmRing("/avid_test_window", n_slots=4, slot_bytes=1 << 16)
+    try:
+        assert ring.wait_window(0, 4, timeout_ms=100)      # within window
+        assert ring.wait_window(3, 4, timeout_ms=100)
+        assert not ring.wait_window(4, 4, timeout_ms=100)  # gated
+        ring.set_consumed(2)
+        assert ring.wait_window(5, 4, timeout_ms=100)      # 5 < 2+4
+        assert not ring.wait_window(6, 4, timeout_ms=100)
+        ring.close_producer()
+        assert ring.wait_window(100, 4, timeout_ms=100)    # closed: release
+    finally:
+        ring.free()
