@@ -25,7 +25,7 @@ vs_baseline: ratio against BASELINE_PERF.json's clips_per_sec_per_chip
 that file for the derivation), else 0.
 
 Env knobs: BENCH_BATCH, BENCH_STEPS, BENCH_WINDOWS, BENCH_DTYPE=bf16|f32,
-BENCH_SKIP_224, BENCH_SKIP_112, BENCH_PEAK_TFLOPS.
+BENCH_SKIP_224, BENCH_SKIP_112, BENCH_SKIP_MINING, BENCH_PEAK_TFLOPS.
 """
 
 import json
@@ -146,6 +146,27 @@ def measure(batch, crop, frames, steps, windows, dtype, dtype_name):
     }
 
 
+def measure_mining() -> dict:
+    """CMA positive-set mining at Kinetics scale (SURVEY hot loop #3):
+    one exact blocked matmul+top-k sweep, N=232k x D=128, top-32."""
+    from avid_cma_tpu.criterions.mining import mine_positives
+
+    n, d = 232_067, 128
+    rng = np.random.default_rng(0)
+    bv = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    bv = bv / jnp.linalg.norm(bv, axis=1, keepdims=True)
+    ba = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    ba = ba / jnp.linalg.norm(ba, axis=1, keepdims=True)
+    out = mine_positives(bv, ba, 32, tile=1024)
+    np.asarray(out[0, 0])  # compile + run
+    t0 = time.perf_counter()
+    out = mine_positives(bv, ba, 32, tile=1024)
+    np.asarray(out[0, 0])  # block_until_ready is unreliable via the tunnel
+    dt = time.perf_counter() - t0
+    return {"metric": "cma_mining_sweep_sec_n232k_top32", "value": round(dt, 2),
+            "unit": "s"}
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
@@ -159,7 +180,10 @@ def main():
     if not os.environ.get("BENCH_SKIP_112"):
         results["112"] = measure(batch, 112, 8, steps, windows, dtype, dtype_name)
 
-    headline = results.get("224") or results["112"]
+    headline = results.get("224") or results.get("112") or {
+        "metric": "no_shape_measured", "value": 0.0, "unit": "",
+        "mfu": 0.0, "flops_per_step": 0.0,
+    }
     baseline = 0.0
     baseline_info = {}
     if os.path.isfile("BASELINE_PERF.json"):
@@ -179,6 +203,11 @@ def main():
         for k, v in results.items()
         if v is not headline
     }
+    if not os.environ.get("BENCH_SKIP_MINING"):
+        try:
+            out["secondary"]["mining"] = measure_mining()
+        except Exception:
+            pass
     if baseline_info:
         out["baseline"] = {
             "clips_per_sec_per_chip": baseline,
