@@ -37,7 +37,7 @@ import jax.numpy as jnp
 # measurement; defaults hold the formulation that wins inside the full
 # fused train-step program on v5e, NOT the one that wins in isolation.
 FORMS = {
-    "stem": "xla3d",     # tstack | xla3d
+    "stem": "xla3d",     # s2d | tstack | xla3d
     "spatial": "xla3d",  # fold2d | xla3d
     "temporal": "xla3d",  # xla3d (stacked-matmul and folded-2D measured slower)
     "proj": "xla3d",     # matmul | xla3d

@@ -28,9 +28,9 @@ loss, criterions/avid.py:47-80), so the backward only needs d_query,
 which is one small matmul per query over the SAME gathered rows; the
 custom VJP recomputes it with XLA's gather (16 MB, once).
 
-Geometry: B % 8 == 0 (Mosaic sublane minimum) and K % TK == 0 with
-TK in {128, 64, ..., 1}; D is the embedding dim (128 in every
-reference config). Anything else falls back to the XLA path.
+Geometry: B % 8 == 0 (Mosaic sublane minimum; anything else falls back
+to the XLA path). The negative-tile size TK is the largest power of two
+dividing K; D is the embedding dim (128 in every reference config).
 """
 
 from __future__ import annotations
@@ -67,9 +67,12 @@ def _kernel(idx_ref, q_ref, bank_ref, out_ref, rows_ref, sem, *, tk, temp):
 
     jax.lax.fori_loop(0, QB * tk, wait, 0)
 
-    # Mosaic has no batched dot — unroll the QB query rows as 2D dots
+    # Mosaic has no batched dot — unroll the QB query rows as 2D dots.
+    # Queries are cast to f32 (banks are always f32): identical promotion
+    # to the XLA einsum path, and no reliance on Mosaic mixed-dtype
+    # matmul support for bf16 queries.
     rows = rows_ref[...].reshape(QB, tk, -1)     # (QB, TK, D)
-    q = q_ref[...]
+    q = q_ref[...].astype(jnp.float32)
     parts = [
         jax.lax.dot_general(
             q[qi : qi + 1], rows[qi],
@@ -83,10 +86,11 @@ def _kernel(idx_ref, q_ref, bank_ref, out_ref, rows_ref, sem, *, tk, temp):
 
 
 def _pick_tk(k: int) -> int:
-    for tk in (128, 64, 32, 16, 8, 4, 2, 1):
+    """Largest tile size dividing K (always succeeds — 1 divides all)."""
+    for tk in (128, 64, 32, 16, 8, 4, 2):
         if k % tk == 0:
             return tk
-    return 0
+    return 1
 
 
 def _pallas_scores(bank, idx, query, temperature: float):
@@ -123,9 +127,11 @@ def _xla_scores(bank, idx, query, temperature: float):
 
 
 def _use_pallas() -> bool:
+    # TPU only: the kernel uses pltpu primitives and will not lower on
+    # GPU backends — everything else takes the XLA path
     return (
         os.environ.get("AVID_NCE_SCORES", "xla") == "pallas"
-        and jax.default_backend() not in ("cpu",)
+        and jax.default_backend() == "tpu"
     )
 
 
@@ -136,11 +142,7 @@ def gather_scores(bank, idx, query, temperature: float):
     bank (N, D) and idx (B, K) are gradient-free (bank rows come in
     stop_gradient'ed); query (B, D) carries gradient.
     """
-    if (
-        _use_pallas()
-        and _pick_tk(idx.shape[1]) > 0
-        and idx.shape[0] % QB == 0
-    ):
+    if _use_pallas() and idx.shape[0] % QB == 0:
         return _pallas_scores(bank, idx, query, temperature)
     return _xla_scores(bank, idx, query, temperature)
 

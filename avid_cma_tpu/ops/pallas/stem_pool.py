@@ -331,7 +331,8 @@ def _use_pallas(y) -> bool:
 
     if os.environ.get("AVID_STEM_POOL", "xla") != "pallas":
         return False
-    if jax.default_backend() in ("cpu",):
+    if jax.default_backend() != "tpu":
+        # pltpu primitives; will not lower on GPU backends
         return False
     if y.dtype != jnp.bfloat16:
         # f32 temps overflow the VMEM budget; production TPU training is
