@@ -154,7 +154,15 @@ def build_dataloader(
     if kind == "native":
         from avid_cma_tpu.data.loader import MultiprocessDataLoader
 
-        return MultiprocessDataLoader(dataset, **common)
-    if kind != "threaded":
+        loader = MultiprocessDataLoader(dataset, **common)
+    elif kind == "threaded":
+        loader = DataLoader(dataset, **common)
+    else:
         raise ValueError(f"unknown loader kind '{kind}' (threaded|native)")
-    return DataLoader(dataset, **common)
+    if len(loader) == 0:
+        raise ValueError(
+            f"empty loader: dataset has {len(dataset)} items but "
+            f"batch_size={common['batch_size']} with "
+            f"drop_last={common['drop_last']} yields zero batches"
+        )
+    return loader

@@ -208,6 +208,9 @@ def run_action_recognition(
     """Full finetune benchmark (reference: eval-action-recg.py)."""
     mesh = make_mesh()
     db = eval_cfg.dataset
+    if debug:  # tiny batches like run_pretraining's debug mode
+        db = Config(dict(db))
+        db["batch_size"] = max(mesh.size * 2, 4)
     fold = fold if fold is not None else int(db.get("fold", 1))
     eval_dir = os.path.join(
         model_cfg["model_dir"], model_cfg["name"],
@@ -497,6 +500,9 @@ def run_linear_probe(
     """Frozen multi-tap linear probe (reference: eval-action-recg-linear.py)."""
     mesh = make_mesh()
     db = eval_cfg.dataset
+    if debug:  # tiny batches like run_pretraining's debug mode
+        db = Config(dict(db))
+        db["batch_size"] = max(mesh.size * 2, 4)
     eval_dir = os.path.join(
         model_cfg["model_dir"], model_cfg["name"],
         f"eval-{eval_cfg.benchmark['name']}", f"fold-{fold:02d}",
