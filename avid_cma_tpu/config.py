@@ -12,6 +12,7 @@ YAML schema of the reference configs so they run verbatim, and add:
 from __future__ import annotations
 
 import copy
+import re
 from typing import Any, Mapping
 
 import yaml
@@ -67,19 +68,19 @@ def from_dict(d: Mapping) -> Config:
     return _wrap(dict(d))
 
 
+# the one YAML 1.1 numeric gap worth fixing: exponent-form floats.
+# PyYAML's 1.1 resolver needs BOTH a dot and a signed exponent, so '1e-4'
+# and '1.5e3' parse as STRINGS — `--set optimizer.lr.base_lr=1e-4` would
+# silently set a str. Everything else ('nan', 'infinity', ...) keeps YAML
+# semantics so literal strings stay strings.
+_SCI_FLOAT = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+")
+
+
 def _coerce(raw: str) -> Any:
-    """Override-value coercion: numbers first, then YAML. YAML 1.1 parses
-    dot-less scientific notation ('1e-4') as a STRING, which would make
-    `--set optimizer.lr.base_lr=1e-4` silently set a str."""
+    """Override-value coercion: YAML, plus exponent-form floats."""
     s = raw.strip()
-    try:
-        return int(s)
-    except ValueError:
-        pass
-    try:
+    if _SCI_FLOAT.fullmatch(s):
         return float(s)
-    except ValueError:
-        pass
     return yaml.safe_load(s)
 
 

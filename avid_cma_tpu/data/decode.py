@@ -214,20 +214,28 @@ class PyAVBackend(DecodeBackend):
 class FFmpegCLIBackend(DecodeBackend):
     """ffmpeg-binary decode for hosts without PyAV."""
 
+    # per-path metadata cache cap: unbounded growth over an AudioSet-2M
+    # epoch would hold ~2M VideoMeta entries (+ path keys) per worker —
+    # order of a GB of host RAM, multiplied across loader processes
+    META_CACHE_MAX = 200_000
+
     def __init__(self):
         if shutil.which("ffmpeg") is None or shutil.which("ffprobe") is None:
             raise RuntimeError("ffmpeg/ffprobe not on PATH")
-        # per-path metadata cache: get_meta spawns an ffprobe subprocess,
+        # per-path metadata LRU: get_meta spawns an ffprobe subprocess,
         # and every clip load of the same file needs the same answer
         # (clip-mode training probes each file once per epoch otherwise,
         # dense eval 25+ times)
-        self._meta_cache: dict = {}
+        from collections import OrderedDict
+
+        self._meta_cache: "OrderedDict[str, VideoMeta]" = OrderedDict()
 
     def get_meta(self, path: str) -> VideoMeta:
         import json
 
         cached = self._meta_cache.get(path)
         if cached is not None:
+            self._meta_cache.move_to_end(path)
             return cached
         out = subprocess.run(
             ["ffprobe", "-v", "error", "-print_format", "json",
@@ -246,6 +254,8 @@ class FFmpegCLIBackend(DecodeBackend):
             height=int(v["height"]),
         )
         self._meta_cache[path] = meta
+        if len(self._meta_cache) > self.META_CACHE_MAX:
+            self._meta_cache.popitem(last=False)
         return meta
 
     def load_video(self, path, start, duration, fps) -> np.ndarray:

@@ -158,10 +158,15 @@ def measure_mining() -> dict:
     ba = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
     ba = ba / jnp.linalg.norm(ba, axis=1, keepdims=True)
     out = mine_positives(bv, ba, 32, tile=1024)
-    np.asarray(out[0, 0])  # compile + run
+    np.asarray(out)  # compile + run
     t0 = time.perf_counter()
     out = mine_positives(bv, ba, 32, tile=1024)
-    np.asarray(out[0, 0])  # block_until_ready is unreliable via the tunnel
+    # fetch the FULL result: pulling one element of one buffer is not
+    # guaranteed to fence all output buffers on runtimes that complete
+    # them asynchronously (block_until_ready is unreliable via the
+    # tunnel, so a full D2H copy is the portable fence; the (N, 32) i32
+    # copy is microseconds against a multi-second sweep)
+    np.asarray(out)
     dt = time.perf_counter() - t0
     return {"metric": "cma_mining_sweep_sec_n232k_top32", "value": round(dt, 2),
             "unit": "s"}

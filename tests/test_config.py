@@ -57,6 +57,27 @@ def test_overrides_yaml_coercion(tmp_path):
     assert cfg.optimizer.lr.milestones == [1, 2]
 
 
+def test_overrides_keep_yaml_string_semantics(tmp_path):
+    """Numeric coercion is restricted to the actual YAML 1.1 gap (dot-less
+    scientific notation); values YAML treats as strings stay strings."""
+    p = tmp_path / "c.yaml"
+    p.write_text("a: 1\n")
+    cfg = config_lib.load(str(p), overrides=[
+        "s1=nan",          # YAML 1.1 string (only '.nan' is a float)
+        "s2=1_000",        # YAML 1.1 *int* (underscore numerals) — kept
+        "s3=infinity",     # string
+        "f1=2e-5",         # the gap being fixed: dot-less sci notation
+        "f2=1.5e3",        # YAML already parses this as float
+        "i1=-42",
+    ])
+    assert cfg.s1 == "nan" and isinstance(cfg.s1, str)
+    assert cfg.s2 == 1000  # PyYAML implements YAML 1.1 underscore ints
+    assert cfg.s3 == "infinity"
+    assert cfg.f1 == pytest.approx(2e-5)
+    assert cfg.f2 == pytest.approx(1500.0)
+    assert cfg.i1 == -42 and isinstance(cfg.i1, int)
+
+
 def test_deep_merge_preserves_untouched_branches():
     base = {"a": {"x": 1, "y": 2}, "b": 3}
     out = merge(base, {"a": {"y": 20}, "c": 4})

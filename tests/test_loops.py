@@ -111,6 +111,57 @@ def test_run_pretraining_cma_sharded_bank_and_resume(tmp_path):
     )
 
 
+@pytest.mark.parametrize("cfg_path,loss_name", [
+    ("configs/main/avid/audioset/Cross-N1024.yaml", "AVID"),
+    ("configs/main/avid-cma/audioset/InstX-N1024-PosW-N64-Top32.yaml",
+     "AVID_CMA"),
+])
+def test_audioset_flagship_configs_engage_scale_features(
+    tmp_path, cfg_path, loss_name
+):
+    """The AudioSet-2M recipes must ship with their scale features ON:
+    `loss.bank_sharding: sharded` (row-sharded banks; replicating 1.78M x
+    128 banks per device is the reference's memory wall,
+    criterions/avid.py:88-101) and, for CMA, `sampling_args.exact: false`
+    (approx_max_k sweep; the exact O(N^2 D) sweep is hours at 1.78M rows).
+    Loads the EXACT shipped YAMLs — only test-sizing keys overridden —
+    and runs them end to end on the synthetic backend."""
+    import os
+
+    from avid_cma_tpu import config as config_lib
+    from avid_cma_tpu.train import builders
+    from avid_cma_tpu.train.loop import run_pretraining
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = config_lib.load(os.path.join(repo, cfg_path), overrides=[
+        # test sizing only — the scale features come from the YAML itself
+        "dataset.backend=synthetic",
+        "dataset.synthetic_size=64",
+        "dataset.crop_size=32",
+        "dataset.video_clip_duration=0.25",
+        "dataset.video_fps=8.0",
+        "dataset.audio_clip_duration=0.5",
+        f"model.model_dir={tmp_path}",
+        "log2tb=false",
+    ])
+    # the shipped YAML carries the flags (not injected by the overrides)
+    assert cfg.loss.bank_sharding == "sharded"
+    crit_cfg = builders.build_criterion_config(cfg.loss)
+    if loss_name == "AVID_CMA":
+        assert crit_cfg.mining_exact is False  # approx_max_k sweep engaged
+        assert crit_cfg.pos_k == 32
+
+    state = run_pretraining(cfg, debug=True)
+    n_dev = jax.device_count()
+    # banks actually row-sharded over the mesh (padded to a device multiple)
+    assert state.bank.view1_mem.shape[0] % n_dev == 0
+    spec = state.bank.view1_mem.sharding.spec
+    assert spec and spec[0] is not None, f"bank not row-sharded: {spec}"
+    if loss_name == "AVID_CMA":
+        assert state.bank.positive_set.sharding.spec[0] is not None
+    assert np.isfinite(float(state.bank.z))
+
+
 def test_cma_warmstart_from_framework_avid_run(tmp_path):
     """Torch-free CMA init: run_pretraining(AVID) then run_pretraining(
     AVID_CMA) consuming the AVID run's orbax output directly (reference
