@@ -13,7 +13,10 @@ from avid_cma_tpu.criterions.avid_cma import (  # noqa: F401
     cma_state_from_bank,
     should_resample,
 )
-from avid_cma_tpu.criterions.mining import mine_positives  # noqa: F401
+from avid_cma_tpu.criterions.mining import (  # noqa: F401
+    mine_positives,
+    mine_positives_sharded,
+)
 from avid_cma_tpu.criterions.nce import nce_loss, resolve_partition  # noqa: F401
 from avid_cma_tpu.registry import CRITERIONS
 

@@ -55,6 +55,7 @@ def _sweep_tiles(
     kind: str,
     tile: int,
     exact: bool = True,
+    n_valid: Optional[int] = None,
 ) -> jnp.ndarray:
     """Top-k agreement indices for local queries (num_q, D) against full
     banks (N, D). Returns (num_q, pos_k) int32, rows sorted ascending.
@@ -92,6 +93,11 @@ def _sweep_tiles(
         agree = _agreement(sim_v, sim_a, kind)  # (tile, N)
         col = jax.lax.broadcasted_iota(jnp.int32, agree.shape, 1)
         agree = jnp.where(col == qi[:, None], -jnp.inf, agree)
+        if n_valid is not None:
+            # zero-padded bank rows (row-sharded layouts pad N up to a
+            # mesh multiple) score agreement 0, which would beat real
+            # negative similarities — mask them out of the top-k
+            agree = jnp.where(col >= n_valid, -jnp.inf, agree)
         if exact:
             _, idx = jax.lax.top_k(agree, pos_k)
         else:
@@ -121,30 +127,85 @@ def mine_positives(
     axis: str = "data",
     exact: bool = True,
 ) -> jnp.ndarray:
-    """Mine the (N, pos_k) positive set. With a mesh, queries are sharded
-    over `axis` (each device sweeps N/devices queries against the full
-    banks); without one, a single-device blocked sweep. exact=False
-    switches the per-tile top-k to lax.approx_max_k (see _sweep_tiles);
-    config surface: loss.args.sampling_args.exact."""
+    """Mine the (N, pos_k) positive set from replicated (N, D) banks.
+    With a mesh, queries are sharded over `axis` (each device sweeps
+    N/devices queries against the full banks); without one, a
+    single-device blocked sweep. exact=False switches the per-tile top-k
+    to lax.approx_max_k (see _sweep_tiles); config surface:
+    loss.args.sampling_args.exact.
+
+    All padding/trimming happens INSIDE the jit so the banks may be
+    multi-process global arrays (eager ops on those are illegal); the
+    result comes back fully replicated over the mesh."""
     if mesh is None or mesh.size == 1:
         return _mine_local(bank_v, bank_a, pos_k, kind, tile, exact)
 
-    n, d = bank_v.shape
+    n, _ = bank_v.shape
     n_dev = mesh.shape[axis]
     pad = (-n) % n_dev
-    q_index = jnp.arange(n, dtype=jnp.int32)
-    q_v = jnp.pad(bank_v, ((0, pad), (0, 0)))
-    q_a = jnp.pad(bank_a, ((0, pad), (0, 0)))
-    q_index = jnp.pad(q_index, (0, pad), constant_values=-1)
-
     sweep = partial(_sweep_tiles, pos_k=pos_k, kind=kind, tile=tile,
                     exact=exact)
-    mined = jax.jit(
-        jax.shard_map(
-            lambda bv, ba, qv, qa, qi: sweep(bv, ba, qv, qa, qi[0]),
+
+    def body(bv, ba):
+        q_index = jnp.pad(
+            jnp.arange(n, dtype=jnp.int32), (0, pad), constant_values=-1
+        )
+        q_v = jnp.pad(bv, ((0, pad), (0, 0)))
+        q_a = jnp.pad(ba, ((0, pad), (0, 0)))
+        mined = jax.shard_map(
+            lambda bv2, ba2, qv, qa, qi: sweep(bv2, ba2, qv, qa, qi[0]),
             mesh=mesh,
             in_specs=(P(), P(), P(axis), P(axis), P(None, axis)),
             out_specs=P(axis),
+        )(bv, ba, q_v, q_a, q_index[None])
+        return mined[:n]
+
+    return jax.jit(
+        body, out_shardings=NamedSharding(mesh, P())
+    )(bank_v, bank_a)
+
+
+def mine_positives_sharded(
+    bank_v: jax.Array,
+    bank_a: jax.Array,
+    n: int,
+    pos_k: int,
+    kind: str = "consensus",
+    tile: int = 256,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+    exact: bool = True,
+) -> jax.Array:
+    """Mine directly from ROW-SHARDED banks — (Npad, D) global arrays laid
+    out by parallel/sharding.shard_bank — returning the positive set in
+    the SAME padded row-sharded layout (what a sharded-bank TrainState
+    stores). No host round-trip, so it works under multi-process
+    execution where eager unshard/reshard of global arrays is illegal.
+
+    Each device's queries are the rows it already owns; the full banks
+    are assembled per device with one all_gather (transient ~N*D*4 bytes
+    — the persistent replication the reference pays for training,
+    criterions/avid.py:88-101, is paid here only for the sweep's
+    duration). Zero-padded tail rows are masked out of every top-k
+    (n_valid), and padded query rows produce discarded garbage."""
+    npad = bank_v.shape[0]
+    n_dev = mesh.shape[axis]
+    n_local = npad // n_dev
+    sweep = partial(_sweep_tiles, pos_k=pos_k, kind=kind, tile=tile,
+                    exact=exact, n_valid=n)
+
+    def local(bv_loc, ba_loc):
+        bv = jax.lax.all_gather(bv_loc, axis, tiled=True)  # (Npad, D)
+        ba = jax.lax.all_gather(ba_loc, axis, tiled=True)
+        offset = jax.lax.axis_index(axis) * n_local
+        qi = offset + jnp.arange(n_local, dtype=jnp.int32)
+        qi = jnp.where(qi < n, qi, -1)  # padded queries: discard rows
+        return sweep(bv, ba, bv_loc, ba_loc, qi)
+
+    return jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None)),
+            out_specs=P(axis, None),
         )
-    )(bank_v, bank_a, q_v, q_a, q_index[None])
-    return mined[:n]
+    )(bank_v, bank_a)

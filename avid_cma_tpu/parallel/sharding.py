@@ -32,16 +32,34 @@ def padded_rows(n: int, n_devices: int) -> int:
     return -(-n // n_devices) * n_devices
 
 
-def shard_bank(bank: jnp.ndarray, mesh: Mesh, axis: str = "data") -> jax.Array:
-    """(N, D) replicated -> row-sharded global array (padded to the mesh)."""
-    n_dev = mesh.shape[axis]
-    pad = padded_rows(bank.shape[0], n_dev) - bank.shape[0]
+def pad_bank_rows(bank: jnp.ndarray, n_devices: int) -> jnp.ndarray:
+    """Zero-pad the row axis up to a device multiple (host-side; the
+    sharded row layout needs equal per-device counts)."""
+    pad = padded_rows(bank.shape[0], n_devices) - bank.shape[0]
     if pad:
-        bank = jnp.pad(bank, ((0, pad), (0, 0)))
-    return jax.device_put(bank, NamedSharding(mesh, P(axis, None)))
+        widths = ((0, pad),) + ((0, 0),) * (bank.ndim - 1)
+        bank = jnp.pad(bank, widths)
+    return bank
 
 
-def unshard_bank(bank: jax.Array, n: int) -> jnp.ndarray:
+def shard_bank(bank: jnp.ndarray, mesh: Mesh, axis: str = "data") -> jax.Array:
+    """(N, ...) host/replicated -> row-sharded global array (padded to the
+    mesh). Single-process placement; multi-process callers go through
+    parallel/multihost.distribute_tree instead."""
+    bank = pad_bank_rows(bank, mesh.shape[axis])
+    spec = P(axis, *([None] * (bank.ndim - 1)))
+    return jax.device_put(bank, NamedSharding(mesh, spec))
+
+
+def unshard_bank(bank: jax.Array, n: int,
+                 mesh: Optional[Mesh] = None) -> jnp.ndarray:
+    """Row-sharded (padded) -> unpadded replicated view. Multi-process
+    callers must pass `mesh`: eager ops on multi-process global arrays
+    are illegal, so the gather+trim runs inside a jit."""
+    if mesh is not None and jax.process_count() > 1:
+        return jax.jit(
+            lambda b: b[:n], out_shardings=NamedSharding(mesh, P())
+        )(bank)
     return jnp.asarray(bank)[:n]
 
 

@@ -32,6 +32,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 from avid_cma_tpu.config import Config
 from avid_cma_tpu.models.eval_wrappers import ClassificationWrapper, MOSTModel
 from avid_cma_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from avid_cma_tpu.parallel.multihost import (
+    distribute_tree,
+    global_batch,
+    is_multiprocess,
+    process_local_slice,
+    sync_counts,
+)
 from avid_cma_tpu.train import builders
 from avid_cma_tpu.train.checkpoint import CheckpointManager, import_model_pth_tar
 from avid_cma_tpu.train.optim import build_from_config
@@ -130,15 +137,59 @@ def make_logits_fn(model, mesh: Mesh, axis: str = DATA_AXIS):
         n = frames.shape[0]
         pad = (-n) % n_dev
         if pad:
+            # multi-process callers (_apply_logits) pre-pad host-side:
+            # eager concatenate/slice on global arrays is illegal
             frames = jnp.concatenate(
                 [frames, jnp.repeat(frames[-1:], pad, axis=0)], axis=0
             )
         out = sharded(params, batch_stats, frames)
-        if isinstance(out, dict):
-            return {k: v[:n] for k, v in out.items()}
-        return out[:n]
+        if pad:
+            if isinstance(out, dict):
+                return {k: v[:n] for k, v in out.items()}
+            return out[:n]
+        return out
 
     return fn
+
+
+def _apply_logits(logits_fn, state, frames, mesh: Mesh):
+    """Inference logits on host-local preprocessed frames. Multi-process,
+    every process contributes its rows to ONE global data-sharded batch
+    (lockstep — all processes must call together with row counts padded
+    to a local-device multiple so the global batch splits evenly) and
+    gets back its own rows. Single-process this is a plain call."""
+    if not is_multiprocess():
+        out = logits_fn(state.params, state.batch_stats, frames)
+        if isinstance(out, dict):
+            return {k: np.asarray(v) for k, v in out.items()}
+        return np.asarray(out)
+    import jax as _jax
+
+    f = np.asarray(frames)
+    n = f.shape[0]
+    pad = (-n) % _jax.local_device_count()
+    if pad:
+        f = np.concatenate([f, np.repeat(f[-1:], pad, axis=0)], axis=0)
+    g = global_batch({"frames": f}, mesh)["frames"]
+    out = logits_fn(state.params, state.batch_stats, g)
+    if isinstance(out, dict):
+        return {k: process_local_slice(v)[:n] for k, v in out.items()}
+    return process_local_slice(out)[:n]
+
+
+def _topk_counts(logits: np.ndarray, labels: np.ndarray,
+                 maxk: int = 5) -> np.ndarray:
+    """[correct@1, correct@maxk, total] — the cross-process-summable form
+    of utils/logger.accuracy (reference meter sync reduces counts,
+    utils/eval_utils.py:130-142)."""
+    pred = np.argsort(-np.asarray(logits), axis=1)[:, :maxk]
+    labels = np.asarray(labels)
+    correct = pred == labels[:, None]
+    return np.asarray(
+        [correct[:, :1].any(axis=1).sum(), correct.any(axis=1).sum(),
+         labels.shape[0]],
+        np.int64,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -217,7 +268,8 @@ def run_action_recognition(
         f"eval-{eval_cfg.benchmark['name']}", f"fold-{fold:02d}",
     )
     logger = Logger(path=os.path.join(eval_dir, "eval.log"),
-                    quiet=bool(eval_cfg.get("quiet")))
+                    quiet=bool(eval_cfg.get("quiet")),
+                    rank=jax.process_index())
     logger.add_line(f"finetune eval fold {fold} -> {eval_dir}")
     _dump_eval_config(eval_cfg, eval_dir, logger)
 
@@ -243,8 +295,14 @@ def run_action_recognition(
         return_labels=True, fold=fold,
     )
     workers = 1 if debug else int(eval_cfg.get("num_workers", 4))
-    train_loader = builders.build_dataloader(train_ds, db, db.train, workers)
-    test_loader = builders.build_dataloader(test_ds, db, db.test, workers)
+    # per-process loader shards (reference: distributed eval loaders,
+    # utils/eval_utils.py:53-142)
+    shard_kw = dict(num_shards=jax.process_count(),
+                    shard_index=jax.process_index())
+    train_loader = builders.build_dataloader(train_ds, db, db.train, workers,
+                                             **shard_kw)
+    test_loader = builders.build_dataloader(test_ds, db, db.test, workers,
+                                            **shard_kw)
 
     pp_cfg = builders.build_preprocess_config(db)
     sample_frames = _preprocess_frames(
@@ -276,6 +334,10 @@ def run_action_recognition(
         batch_stats=batch_stats, opt_state=None,
         bank=None, rng=jax.random.key(int(eval_cfg.get("seed", 0))),
     )
+    # host-built process-identical state -> global arrays (multi-host
+    # bridge; single-process this is plain replicated placement). All
+    # later tree surgery (optimizer init, epoch bumps) runs under jit.
+    state = distribute_tree(state, mesh)
 
     logits_fn = make_logits_fn(model, mesh)
 
@@ -283,7 +345,7 @@ def run_action_recognition(
         """Per-epoch test phase (reference: eval-action-recg.py:83-97 runs
         run_phase('test', ...) after EVERY train epoch, warmup included)."""
         t1, t5 = _clip_eval(
-            st, logits_fn, test_loader, pp_cfg,
+            st, logits_fn, test_loader, pp_cfg, mesh,
             max_batches=2 if debug else None,
         )
         logger.add_line(f"{phase}-test[{epoch}] Acc@1 {t1:6.2f} Acc@5 {t5:6.2f}")
@@ -306,7 +368,9 @@ def run_action_recognition(
         with open(best_path) as f:
             best = _json.load(f)
 
-    full_template = state.replace(opt_state=full_opt.init(state.params))
+    full_template = state.replace(
+        opt_state=jax.jit(full_opt.init)(state.params)
+    )
     if eval_cfg.get("test_only") and ckpt.latest_step() is None:
         # silently training a fresh head under --test-only would report
         # warmup-quality numbers as if they were the checkpoint's
@@ -332,37 +396,43 @@ def run_action_recognition(
         # be derived from the warmup OUTPUT, never from pre-warmup buffers.
         warmup_epochs = 1 if debug else int(opt_cfg.get("warmup_epochs", 5))
         warm_opt = optax.masked(full_opt, classifier_only_mask(params))
-        state = state.replace(opt_state=warm_opt.init(state.params))
+        state = state.replace(
+            opt_state=jax.jit(warm_opt.init)(state.params)
+        )
         warm_step = make_supervised_train_step(model, warm_opt, mesh)
         state = _train_epochs(
             state, warm_step, train_loader, pp_cfg, warmup_epochs,
-            logger, phase="warmup", debug=debug,
+            logger, phase="warmup", debug=debug, mesh=mesh,
             on_epoch_end=lambda st, ep: clip_test(st, ep, "warmup"),
         )
 
     if not restored:
         state = state.replace(
-            opt_state=full_opt.init(state.params), epoch=jnp.int32(0)
-        )
+            opt_state=jax.jit(full_opt.init)(state.params)
+        ).with_epoch(0)
     train_step = make_supervised_train_step(model, full_opt, mesh)
 
     if not eval_cfg.get("test_only"):
 
         def on_epoch_end(st, epoch):
+            # t1 is globally synced (_clip_eval sums counts across
+            # processes), so every process takes the same best branch and
+            # the orbax saves stay collective
             t1, _ = clip_test(st, epoch, "finetune")
             step = int(st.step)
             ckpt.save(step, st)
             if t1 > best["top1"]:
                 best.update(top1=t1, step=step)
                 best_ckpt.save(step, st, force=True)
-                with open(best_path, "w") as f:
-                    _json.dump(best, f)
+                if jax.process_index() == 0:
+                    with open(best_path, "w") as f:
+                        _json.dump(best, f)
                 logger.add_line(f"new best Acc@1 {t1:6.2f} @ step {step}")
 
         state = _train_epochs(
             state, train_step, train_loader, pp_cfg, num_epochs, logger,
             phase="finetune", debug=debug, start_epoch=start_epoch,
-            on_epoch_end=on_epoch_end,
+            mesh=mesh, on_epoch_end=on_epoch_end,
         )
 
     # final clip eval at 25 clips/video (reference rebuilds the loaders
@@ -373,15 +443,16 @@ def run_action_recognition(
         db, final_test_cfg, return_audio=False, return_labels=True, fold=fold
     )
     test_loader = builders.build_dataloader(
-        final_test_ds, db, final_test_cfg, workers
+        final_test_ds, db, final_test_cfg, workers, **shard_kw
     )
 
     # reuse the logits_fn compiled during the per-epoch test phases —
     # rebuilding it here would discard the warm jit cache and recompile
-    clip_top1, clip_top5 = _clip_eval(state, logits_fn, test_loader, pp_cfg)
+    clip_top1, clip_top5 = _clip_eval(state, logits_fn, test_loader, pp_cfg,
+                                      mesh)
     video_top1, video_top5 = _dense_eval(
         state, logits_fn, dense_ds, pp_cfg,
-        batch_clips=int(db["batch_size"]), workers=workers,
+        batch_clips=int(db["batch_size"]), workers=workers, mesh=mesh,
     )
     results = {
         "clip@1": clip_top1, "clip@5": clip_top5,
@@ -394,6 +465,7 @@ def run_action_recognition(
 def _train_epochs(
     state, step_fn, loader, pp_cfg, epochs, logger, phase, debug,
     start_epoch: int = 0, seed: int = 123,
+    mesh: Optional[Mesh] = None,
     on_epoch_end: Optional[Callable] = None,
 ):
     """Epoch loop for finetune/probe/warmup phases.
@@ -417,7 +489,9 @@ def _train_epochs(
             for metrics, logits, labels in pending:
                 n = labels.shape[0]
                 loss_m.update(float(metrics["loss"]), n=n)
-                top1 = accuracy(np.asarray(logits), labels, (1,))[0]
+                # logits come back data-sharded: this process's rows pair
+                # with its local labels
+                top1 = accuracy(process_local_slice(logits), labels, (1,))[0]
                 acc_m.update(top1, n=n)
             pending.clear()
 
@@ -425,7 +499,14 @@ def _train_epochs(
             key = jax.random.fold_in(jax.random.key(seed), host_step)
             frames = _preprocess_frames(batch, pp_cfg, key, train=True)
             labels = np.asarray(batch["label"])
-            state, metrics, logits = step_fn(state, frames, jnp.asarray(labels))
+            if is_multiprocess():
+                gb = global_batch(
+                    {"frames": np.asarray(frames), "label": labels}, mesh
+                )
+                frames_in, labels_in = gb["frames"], gb["label"]
+            else:
+                frames_in, labels_in = frames, jnp.asarray(labels)
+            state, metrics, logits = step_fn(state, frames_in, labels_in)
             host_step += 1
             pending.append((metrics, logits, labels))
             if it % 50 == 0 or it == len(loader) - 1:
@@ -434,6 +515,12 @@ def _train_epochs(
             if debug and it >= 2:
                 break
         drain()
+        if is_multiprocess():
+            # loss is mesh-pmean'd already; this syncs the host-side
+            # accuracy meter so the epoch line is global (reference:
+            # cross-GPU meter sync, utils/logger.py:73-79)
+            progress.synchronize_meters()
+            progress.display(len(loader))
         state = state.with_epoch(epoch + 1)
         if on_epoch_end is not None:
             on_epoch_end(state, epoch)
@@ -441,57 +528,171 @@ def _train_epochs(
 
 
 def _clip_eval(
-    state, logits_fn, loader, pp_cfg, max_batches: Optional[int] = None
+    state, logits_fn, loader, pp_cfg, mesh: Mesh,
+    max_batches: Optional[int] = None,
 ) -> Tuple[float, float]:
-    all_logits, all_labels = [], []
+    """Clip-level accuracy. Multi-process: the loader is already this
+    process's shard; local correct@k counts are summed across processes
+    (reference: distributed test loaders + meter sync,
+    utils/eval_utils.py:53-142)."""
+    counts = np.zeros(3, np.int64)
     for it, batch in enumerate(loader):
         frames = _preprocess_frames(batch, pp_cfg, jax.random.key(0), train=False)
-        logits = logits_fn(state.params, state.batch_stats, frames)
-        all_logits.append(np.asarray(logits))
-        all_labels.append(np.asarray(batch["label"]))
+        logits = _apply_logits(logits_fn, state, frames, mesh)
+        counts += _topk_counts(logits, batch["label"])
         if max_batches is not None and it + 1 >= max_batches:
             break
-    logits = np.concatenate(all_logits)
-    labels = np.concatenate(all_labels)
-    top1, top5 = accuracy(logits, labels, (1, 5))
-    return top1, top5
+    c1, c5, n = sync_counts(counts)
+    n = max(int(n), 1)
+    return 100.0 * c1 / n, 100.0 * c5 / n
+
+
+def _any_process(flag: bool) -> bool:
+    """True if ANY process still has work (lockstep pump control)."""
+    if not is_multiprocess():
+        return flag
+    from jax.experimental import multihost_utils
+
+    return bool(
+        multihost_utils.process_allgather(np.asarray([flag], np.int32)).sum()
+        > 0
+    )
 
 
 def _dense_eval(
     state, logits_fn, dense_ds, pp_cfg, batch_clips: int, workers: int = 1,
-    max_videos: Optional[int] = None,
-) -> Tuple[float, float]:
-    """Dense video eval: softmax over each chunk, averaged over chunks
+    max_videos: Optional[int] = None, mesh: Optional[Mesh] = None,
+):
+    """Dense video eval: softmax over every clip, averaged per video
     (reference: eval-action-recg.py:101-110 + BatchWrapper chunking).
-    Whole-video decode dominates wall-clock, so items are fed through the
-    prefetching loader (one video per 'batch') instead of a single-thread
-    __getitem__ sweep."""
+
+    (video, clip) work is FLATTENED into one row queue feeding fixed-size
+    device batches, so device utilization is bounded by the queue, not by
+    one video's clip count (a 25-clip video no longer serializes into
+    ragged sub-batches). Whole-video decode dominates host wall-clock, so
+    videos stream through the prefetching loader. Multi-process: videos
+    are round-robin sharded per process and every flush is a lockstep
+    global dispatch (idle processes pump dummy rows until all queues
+    drain); per-video correct@k counts are summed across processes.
+
+    Returns (top1, top5), or {tap: (top1, top5)} for multi-tap models."""
     from avid_cma_tpu.data.loader import DataLoader as _Loader
 
-    n_videos = len(dense_ds) if max_videos is None else min(max_videos, len(dense_ds))
+    mesh = mesh if mesh is not None else make_mesh()
+    nproc = jax.process_count()
+    rank = jax.process_index()
+    total = len(dense_ds) if max_videos is None else min(max_videos, len(dense_ds))
+    # round-robin sharding (ShardedBatchSampler, shuffle=False):
+    # local item i has global index rank + i*nproc
+    n_local = len(range(rank, total, nproc))
     loader = _Loader(
         dense_ds, batch_size=1, shuffle=False, drop_last=False,
-        num_workers=max(workers, 1),
+        num_workers=max(workers, 1), num_shards=nproc, shard_index=rank,
     )
-    video_scores, video_labels = [], []
-    for vi, sample in enumerate(loader):
-        if vi >= n_videos:
+    # fixed flush size: a local-device multiple so the global batch
+    # splits evenly across the mesh under multi-process execution
+    ld = jax.local_device_count() if is_multiprocess() else 1
+    rows_per_flush = -(-int(batch_clips) // ld) * ld
+
+    prob_sum: list = []  # per local video: tap -> running prob sum
+    clip_cnt: list = []
+    labels_loc: list = []
+
+    def row_gen():
+        for vi, sample in enumerate(loader):
+            if vi >= n_local:
+                break
+            frames = np.asarray(sample["frames"][0])  # (clips, T, H, W, C)
+            slot = len(labels_loc)
+            labels_loc.append(np.asarray(sample["label"])[0])
+            prob_sum.append(None)
+            clip_cnt.append(0)
+            for c in range(frames.shape[0]):
+                yield slot, frames[c]
+
+    gen = row_gen()
+    pending_rows: list = []
+    pending_slots: list = []
+    template_row = None
+    seen_taps: Optional[list] = None
+    exhausted = False
+    while True:
+        while len(pending_rows) < rows_per_flush and not exhausted:
+            try:
+                slot, row = next(gen)
+            except StopIteration:
+                exhausted = True
+                break
+            pending_rows.append(row)
+            pending_slots.append(slot)
+            template_row = row
+        has_work = bool(pending_rows)
+        if not _any_process(has_work):
             break
-        frames = sample["frames"][0]  # (clips, T, H, W, C)
-        probs = []
-        for s in range(0, frames.shape[0], batch_clips):
-            chunk = frames[s : s + batch_clips]
-            f = _preprocess_frames(
-                {"frames": chunk}, pp_cfg, jax.random.key(0), train=False
+        k = len(pending_rows)
+        if k:
+            arr = np.stack(pending_rows[:rows_per_flush])
+            slots = pending_slots[: arr.shape[0]]
+            del pending_rows[: arr.shape[0]]
+            del pending_slots[: arr.shape[0]]
+        else:  # drained early: pump dummy rows to keep the lockstep
+            if template_row is None:
+                # a process that owns zero videos never saw a real row;
+                # decode one item for the (fixed) clip shape
+                template_row = np.asarray(dense_ds[0]["frames"])[0]
+            arr = np.zeros((0,) + tuple(np.shape(template_row)),
+                           dtype=np.asarray(template_row).dtype)
+            slots = []
+        k = arr.shape[0]
+        if k < rows_per_flush:
+            filler = arr[-1:] if k else np.zeros(
+                (1,) + tuple(np.shape(template_row)),
+                dtype=np.asarray(template_row).dtype,
             )
-            logits = logits_fn(state.params, state.batch_stats, f)
-            probs.append(jax.nn.softmax(np.asarray(logits), axis=-1))
-        video_scores.append(np.concatenate(probs).mean(axis=0))
-        video_labels.append(np.asarray(sample["label"])[0])
-    scores = np.stack(video_scores)
-    labels = np.asarray(video_labels)
-    top1, top5 = accuracy(scores, labels, (1, 5))
-    return top1, top5
+            arr = np.concatenate(
+                [arr, np.repeat(filler, rows_per_flush - k, axis=0)], axis=0
+            )
+        f = _preprocess_frames(
+            {"frames": arr}, pp_cfg, jax.random.key(0), train=False
+        )
+        out = _apply_logits(logits_fn, state, f, mesh)
+        multi_tap = isinstance(out, dict)
+        taps = list(out.keys()) if multi_tap else [None]
+        seen_taps = taps
+        for tap in taps:
+            logits = out[tap] if multi_tap else out
+            probs = np.asarray(jax.nn.softmax(jnp.asarray(logits[:k]), axis=-1))
+            for s, p in zip(slots, probs):
+                if prob_sum[s] is None:
+                    prob_sum[s] = {t: 0.0 for t in taps}
+                prob_sum[s][tap] = prob_sum[s][tap] + p
+        for s in slots:
+            clip_cnt[s] += 1
+
+    # per-video means -> correct@k counts -> cross-process sum (tap list
+    # from the flushes, NOT local videos: a zero-video process must still
+    # make the same number of sync_counts calls as everyone else)
+    taps = seen_taps if seen_taps is not None else [None]
+    results = {}
+    for tap in taps:
+        scored = [
+            (ps[tap] / max(c, 1), lb)
+            for ps, c, lb in zip(prob_sum, clip_cnt, labels_loc)
+            if ps is not None
+        ]
+        if scored:
+            counts = _topk_counts(
+                np.stack([s for s, _ in scored]),
+                np.asarray([l for _, l in scored]),
+            )
+        else:
+            counts = np.zeros(3, np.int64)
+        c1, c5, n = sync_counts(counts)
+        n = max(int(n), 1)
+        results[tap] = (100.0 * c1 / n, 100.0 * c5 / n)
+    if list(results.keys()) == [None]:
+        return results[None]
+    return results
 
 
 def run_linear_probe(
@@ -508,7 +709,8 @@ def run_linear_probe(
         f"eval-{eval_cfg.benchmark['name']}", f"fold-{fold:02d}",
     )
     logger = Logger(path=os.path.join(eval_dir, "eval.log"),
-                    quiet=bool(eval_cfg.get("quiet")))
+                    quiet=bool(eval_cfg.get("quiet")),
+                    rank=jax.process_index())
     _dump_eval_config(eval_cfg, eval_dir, logger)
 
     backbone, bb_vars = _load_backbone(model_cfg)
@@ -530,8 +732,12 @@ def run_linear_probe(
         db, db.test, return_audio=False, return_labels=True, fold=fold
     )
     workers = 1 if debug else int(eval_cfg.get("num_workers", 4))
-    train_loader = builders.build_dataloader(train_ds, db, db.train, workers)
-    test_loader = builders.build_dataloader(test_ds, db, db.test, workers)
+    shard_kw = dict(num_shards=jax.process_count(),
+                    shard_index=jax.process_index())
+    train_loader = builders.build_dataloader(train_ds, db, db.train, workers,
+                                             **shard_kw)
+    test_loader = builders.build_dataloader(test_ds, db, db.test, workers,
+                                            **shard_kw)
     pp_cfg = builders.build_preprocess_config(db)
 
     sample_frames = _preprocess_frames(
@@ -557,6 +763,8 @@ def run_linear_probe(
         batch_stats=batch_stats, opt_state=optimizer.init(params),
         bank=None, rng=jax.random.key(int(eval_cfg.get("seed", 0))),
     )
+    # host-built process-identical state -> global arrays over the mesh
+    state = distribute_tree(state, mesh)
     step_fn = make_supervised_train_step(model, optimizer, mesh, multi_output=True)
 
     # probe checkpointing (reference: MOSTCheckpointManager classifier-only
@@ -594,8 +802,15 @@ def run_linear_probe(
         for it, batch in enumerate(train_loader):
             key = jax.random.fold_in(jax.random.key(7), host_step)
             frames = _preprocess_frames(batch, pp_cfg, key, train=True)
-            labels = jnp.asarray(batch["label"])
-            state, metrics, _ = step_fn(state, frames, labels)
+            labels = np.asarray(batch["label"])
+            if is_multiprocess():
+                gb = global_batch(
+                    {"frames": np.asarray(frames), "label": labels}, mesh
+                )
+                frames_in, labels_in = gb["frames"], gb["label"]
+            else:
+                frames_in, labels_in = frames, jnp.asarray(labels)
+            state, metrics, _ = step_fn(state, frames_in, labels_in)
             host_step += 1
             pending.append((metrics["loss"], labels.shape[0]))
             if it % 50 == 0 or it == len(train_loader) - 1:
@@ -604,26 +819,29 @@ def run_linear_probe(
             if debug and it >= 2:
                 break
         drain()
+        if is_multiprocess():
+            progress.synchronize_meters()
+            progress.display(len(train_loader))
         # per-epoch save: probes survive preemption mid-run
         state = state.with_epoch(epoch + 1)
         ckpt.save(max(host_step, 1), state)
 
-    # per-tap clip eval
+    # per-tap clip eval (local correct@k counts, summed across processes)
     logits_fn = make_logits_fn(model, mesh)
-    per_tap_logits: Dict[str, list] = {ft: [] for ft in model.feat_names}
-    labels_all = []
+    tap_counts: Dict[str, np.ndarray] = {
+        ft: np.zeros(3, np.int64) for ft in model.feat_names
+    }
     for batch in test_loader:
         frames = _preprocess_frames(batch, pp_cfg, jax.random.key(0), train=False)
-        out = logits_fn(state.params, state.batch_stats, frames)
+        out = _apply_logits(logits_fn, state, frames, mesh)
+        labels = np.asarray(batch["label"])
         for ft in model.feat_names:
-            per_tap_logits[ft].append(np.asarray(out[ft]))
-        labels_all.append(np.asarray(batch["label"]))
-    labels = np.concatenate(labels_all)
+            tap_counts[ft] += _topk_counts(out[ft], labels)
     results = {}
     for ft in model.feat_names:
-        logits = np.concatenate(per_tap_logits[ft])
-        top1, top5 = accuracy(logits, labels, (1, 5))
-        results[ft] = {"clip@1": top1, "clip@5": top5}
+        c1, c5, n = sync_counts(tap_counts[ft])
+        n = max(int(n), 1)
+        results[ft] = {"clip@1": 100.0 * c1 / n, "clip@5": 100.0 * c5 / n}
 
     # dense video eval: per-tap softmax-mean over uniformly spaced chunks
     # (reference protocol for the Kinetics linear Video@1 numbers,
@@ -633,40 +851,13 @@ def run_linear_probe(
             db, db.test_dense, mode="video", return_audio=False,
             return_labels=True, fold=fold,
         )
-        n_videos = len(dense_ds) if not debug else min(4, len(dense_ds))
-        tap_scores = {ft: [] for ft in model.feat_names}
-        dense_labels = []
-        batch_clips = int(db["batch_size"])
-        # whole-video decode dominates dense-eval wall-clock: feed videos
-        # through the prefetching loader like _dense_eval, not a
-        # single-thread __getitem__ sweep
-        from avid_cma_tpu.data.loader import DataLoader as _Loader
-
-        dense_loader = _Loader(
-            dense_ds, batch_size=1, shuffle=False, drop_last=False,
-            num_workers=max(workers, 1),
+        dense = _dense_eval(
+            state, logits_fn, dense_ds, pp_cfg,
+            batch_clips=int(db["batch_size"]), workers=workers,
+            max_videos=min(4, len(dense_ds)) if debug else None, mesh=mesh,
         )
-        for vi, batch1 in enumerate(dense_loader):
-            if vi >= n_videos:
-                break
-            sample = {"frames": batch1["frames"][0],
-                      "label": np.asarray(batch1["label"])[0]}
-            frames = sample["frames"]
-            probs = {ft: [] for ft in model.feat_names}
-            for s in range(0, frames.shape[0], batch_clips):
-                f = _preprocess_frames(
-                    {"frames": frames[s : s + batch_clips]}, pp_cfg,
-                    jax.random.key(0), train=False,
-                )
-                out = logits_fn(state.params, state.batch_stats, f)
-                for ft in model.feat_names:
-                    probs[ft].append(jax.nn.softmax(np.asarray(out[ft]), axis=-1))
-            for ft in model.feat_names:
-                tap_scores[ft].append(np.concatenate(probs[ft]).mean(axis=0))
-            dense_labels.append(sample["label"])
-        dl = np.asarray(dense_labels)
         for ft in model.feat_names:
-            top1, top5 = accuracy(np.stack(tap_scores[ft]), dl, (1, 5))
+            top1, top5 = dense[ft]
             results[ft]["video@1"] = top1
             results[ft]["video@5"] = top5
 

@@ -26,11 +26,17 @@ from avid_cma_tpu.criterions import (
     cma_state_from_bank,
     init_bank_state,
     mine_positives,
+    mine_positives_sharded,
     should_resample,
 )
 from avid_cma_tpu.criterions.avid import BankState
 from avid_cma_tpu.data.pipelines import preprocess_batch
-from avid_cma_tpu.parallel.mesh import make_mesh
+from avid_cma_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from avid_cma_tpu.parallel.multihost import (
+    distribute_tree,
+    global_batch,
+    is_multiprocess,
+)
 from avid_cma_tpu.train import builders
 from avid_cma_tpu.train.checkpoint import (
     CheckpointManager,
@@ -42,8 +48,9 @@ from avid_cma_tpu.train.checkpoint import (
 from avid_cma_tpu.train.optim import build_from_config
 from avid_cma_tpu.train.state import TrainState
 from avid_cma_tpu.train.step import (
+    bank_state_specs,
     init_train_state,
-    make_eval_loss_step,
+    make_fused_eval_step,
     make_fused_train_step,
 )
 from avid_cma_tpu.utils.logger import (
@@ -144,16 +151,33 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
     # HBM (AudioSet-2M: 2x1.78Mx128; reference replicates per GPU,
     # criterions/avid.py:88-101)
     bank_sharding = str(cfg.loss.get("bank_sharding", "replicated"))
+    bank_sharded = bank_sharding == "sharded"
     # when resuming, the O(N^2 D) CMA mining sweep would be thrown away by
     # the restore — only the bank pytree SHAPE (and sharding) is needed as
     # a template
     state = state.replace(
-        bank=_init_bank(cfg.loss, crit_cfg, mesh, seed, logger,
-                        template_only=resuming, bank_sharding=bank_sharding)
+        bank=_init_bank(cfg.loss, crit_cfg,
+                        mesh.size if bank_sharded else 1, seed, logger,
+                        template_only=resuming)
+    )
+    # host-built, process-identical state -> global arrays over the mesh
+    # (the multi-host bridge; single-process this is plain placement)
+    state = distribute_tree(
+        state, mesh, bank_state_specs(state, DATA_AXIS, bank_sharded)
     )
     if resuming:
         state = ckpt.restore(state)
         logger.add_line(f"resumed from step {int(state.step)}")
+    elif isinstance(crit_cfg, AVIDCMAConfig):
+        # positive set mined AFTER distribution so the sweep runs on
+        # global arrays (mesh-sharded queries; multi-process-legal)
+        logger.add_line(
+            f"mining CMA positives: N={crit_cfg.num_data} "
+            f"pos_k={crit_cfg.pos_k} type={crit_cfg.sampling_type}"
+        )
+        state = state.replace(bank=state.bank.replace(
+            positive_set=_mine(state.bank, crit_cfg, mesh, bank_sharded)
+        ))
 
     # preprocessing traced into the step program (one dispatch/batch),
     # state donated at the top-level jit (in-place HBM updates)
@@ -172,20 +196,9 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
             epoch, crit_cfg.resample_freq
         ):
             logger.add_line(f"epoch {epoch}: re-mining CMA positive set")
-            v1, v2 = state.bank.view1_mem, state.bank.view2_mem
-            if bank_sharding == "sharded":
-                # mine on the unpadded global view, then re-shard the result
-                from avid_cma_tpu.parallel.sharding import shard_bank, unshard_bank
-
-                v1 = unshard_bank(v1, crit_cfg.num_data)
-                v2 = unshard_bank(v2, crit_cfg.num_data)
-            pos = mine_positives(
-                v1, v2, crit_cfg.pos_k, crit_cfg.sampling_type, mesh=mesh,
-                exact=crit_cfg.mining_exact,
-            ).astype(jnp.int32)
-            if bank_sharding == "sharded":
-                pos = shard_bank(pos, mesh)
-            state = state.replace(bank=state.bank.replace(positive_set=pos))
+            state = state.replace(bank=state.bank.replace(
+                positive_set=_mine(state.bank, crit_cfg, mesh, bank_sharded)
+            ))
 
         loader.set_epoch(epoch)
         state = state.with_epoch(epoch)
@@ -217,7 +230,10 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
         t0 = time.time()
         for it, batch in enumerate(loader):
             meters["data_t"].update(time.time() - t0)
-            state, metrics = train_step(state, batch, host_step)
+            # multi-process: this process's loader shard -> global arrays
+            # over the mesh (identity single-process)
+            state, metrics = train_step(state, global_batch(batch, mesh),
+                                        host_step)
             pending_losses.append((metrics["loss"], batch["index"].shape[0]))
             host_step += 1
             # preemption-safe mid-epoch checkpointing (TPU preemption is
@@ -235,6 +251,12 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
                 meters["batch_t"].update(time.time() - t0)
             t0 = time.time()
         drain_losses()
+        if is_multiprocess():
+            # loss is already mesh-pmean'd per batch; this syncs the
+            # host-side timing meters so the epoch summary is global
+            # (reference: cross-GPU meter sync, main-avid.py:195-197)
+            progress.synchronize_meters()
+            progress.display(len(loader))
 
         state = state.with_epoch(epoch + 1)
         ckpt.save(int(state.step), state, milestone=(epoch + 1) in milestones)
@@ -247,17 +269,17 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
             epoch % max(test_freq, 1) == 0 or epoch == epochs - 1
         ):
             if eval_step is None:
-                eval_step = make_eval_loss_step(
-                    model, crit_cfg, optimizer_mesh,
+                # preprocessing traced into the program: multi-process
+                # batches are global arrays, which eager host-side
+                # preprocessing cannot touch
+                eval_step = make_fused_eval_step(
+                    model, crit_cfg, optimizer_mesh, pp_cfg, seed,
                     bank_sharding=bank_sharding,
                 )
             test_loader.set_epoch(epoch)
             losses = []
             for it, batch in enumerate(test_loader):
-                batch = preprocess_batch(
-                    jax.random.key(seed + 3), batch, pp_cfg, train=False
-                )
-                m = eval_step(state, batch, it)
+                m = eval_step(state, global_batch(batch, mesh), it)
                 losses.append(float(m["loss"]))
                 if debug and it >= 1:
                     break
@@ -277,19 +299,23 @@ def build_model_with_warmstart(model_cfg: Config, logger: Optional[Logger] = Non
     return model
 
 
-def _init_bank(loss_cfg: Config, crit_cfg, mesh, seed: int, logger: Logger,
-               template_only: bool = False,
-               bank_sharding: str = "replicated"):
+def _init_bank(loss_cfg: Config, crit_cfg, pad_devices: int, seed: int,
+               logger: Logger, template_only: bool = False):
     """AVID: fresh banks. AVID-CMA: banks+Z restored from the AVID
-    checkpoint (criterions/avid_cma.py:308-319), then the positive set is
-    mined before training (avid_cma.py:320-321). The checkpoint may be a
+    checkpoint (criterions/avid_cma.py:308-319); the positive set comes
+    back ZEROED — the caller mines it AFTER the state is distributed over
+    the mesh, so the O(N^2 D) sweep runs on global arrays (the only legal
+    place under multi-process execution). The checkpoint may be a
     reference-format `.pth.tar` OR a pretrain run done in this framework
     (a model_dir/orbax directory) — no torch detour needed.
 
-    `template_only`: an orbax restore will overwrite the values — build
-    the right SHAPES (and shardings) without running the O(N^2 D) mining
-    sweep. With bank_sharding='sharded' the returned banks (and positive
-    set) are row-sharded over the mesh."""
+    Returns HOST-side (process-identical) arrays; `pad_devices > 1` pads
+    bank rows to a mesh multiple for the row-sharded layout (the caller's
+    distribute_tree assigns the actual shardings). `template_only`: an
+    orbax restore will overwrite the values — skip checkpoint loading and
+    just build the right shapes."""
+    from avid_cma_tpu.parallel.sharding import pad_bank_rows
+
     ck = loss_cfg.get("args", {}).get("checkpoint")
     if template_only:
         bank = init_bank_state(
@@ -310,30 +336,33 @@ def _init_bank(loss_cfg: Config, crit_cfg, mesh, seed: int, logger: Logger,
         if isinstance(crit_cfg, AVIDCMAConfig) and ck:
             logger.add_line(f"warning: CMA checkpoint {ck} missing; random banks")
 
-    def finalize(bank_state):
-        if bank_sharding != "sharded":
-            return bank_state
+    if isinstance(crit_cfg, AVIDCMAConfig):
+        pos = jnp.zeros((crit_cfg.num_data, crit_cfg.pos_k), jnp.int32)
+        bank = cma_state_from_bank(bank, pos)
+    if pad_devices > 1:
+        bank = bank.replace(**{
+            f: pad_bank_rows(getattr(bank, f), pad_devices)
+            for f in ("view1_mem", "view2_mem", "positive_set")
+            if getattr(bank, f, None) is not None
+        })
+    return bank
+
+
+def _mine(bank, crit_cfg, mesh, bank_sharded: bool) -> jax.Array:
+    """The CMA positive-set sweep on the distributed bank, in whichever
+    layout the bank lives in (avid_cma.py:320-321 analogue)."""
+    if bank_sharded and mesh.size > 1:
+        return mine_positives_sharded(
+            bank.view1_mem, bank.view2_mem, crit_cfg.num_data,
+            crit_cfg.pos_k, crit_cfg.sampling_type, mesh=mesh,
+            exact=crit_cfg.mining_exact,
+        )
+    pos = mine_positives(
+        bank.view1_mem, bank.view2_mem, crit_cfg.pos_k,
+        crit_cfg.sampling_type, mesh=mesh, exact=crit_cfg.mining_exact,
+    )
+    if bank_sharded:  # padded layout even on a 1-device mesh
         from avid_cma_tpu.parallel.sharding import shard_bank
 
-        kwargs = dict(
-            view1_mem=shard_bank(bank_state.view1_mem, mesh),
-            view2_mem=shard_bank(bank_state.view2_mem, mesh),
-        )
-        if getattr(bank_state, "positive_set", None) is not None:
-            kwargs["positive_set"] = shard_bank(bank_state.positive_set, mesh)
-        return bank_state.replace(**kwargs)
-
-    if isinstance(crit_cfg, AVIDCMAConfig):
-        if template_only:
-            pos = jnp.zeros((crit_cfg.num_data, crit_cfg.pos_k), jnp.int32)
-            return finalize(cma_state_from_bank(bank, pos))
-        logger.add_line(
-            f"mining CMA positives: N={crit_cfg.num_data} pos_k={crit_cfg.pos_k} "
-            f"type={crit_cfg.sampling_type}"
-        )
-        pos = mine_positives(
-            bank.view1_mem, bank.view2_mem, crit_cfg.pos_k,
-            crit_cfg.sampling_type, mesh=mesh, exact=crit_cfg.mining_exact,
-        )
-        return finalize(cma_state_from_bank(bank, pos))
-    return finalize(bank)
+        pos = shard_bank(pos, mesh)
+    return pos

@@ -38,5 +38,12 @@ class TrainState(struct.PyTreeNode):
         existing scalar (`epoch * 0 + n`). A fresh host-created
         jnp.int32 would carry a different layout/commit key than the
         step executable's outputs and force a full recompile of the
-        donated jitted step at every epoch boundary (~40 s each)."""
-        return self.replace(epoch=self.epoch * 0 + epoch)
+        donated jitted step at every epoch boundary (~40 s each).
+        Runs under jit (one compile total: `epoch` is traced) because
+        eager ops on multi-process global arrays are illegal."""
+        return self.replace(epoch=_bump_epoch(self.epoch, epoch))
+
+
+@jax.jit
+def _bump_epoch(e: jnp.ndarray, n) -> jnp.ndarray:
+    return e * 0 + jnp.asarray(n, e.dtype)

@@ -231,6 +231,37 @@ def make_eval_loss_step(
     return jax.jit(step_fn)
 
 
+def make_fused_eval_step(
+    model,
+    criterion_cfg: CriterionConfig,
+    mesh: Mesh,
+    pp_cfg,
+    seed: int,
+    axis: str = DATA_AXIS,
+    bank_sharding: str = "replicated",
+):
+    """Eval-loss step with device preprocessing traced INTO the program
+    (mirror of make_fused_train_step): one dispatch per held-out batch.
+    Consumes the loader's raw batch — under multi-process execution the
+    caller passes global arrays (parallel/multihost.global_batch); eager
+    host-side preprocessing of those would be illegal, which is why the
+    preprocessing must live inside the jit here."""
+    from avid_cma_tpu.data.pipelines import preprocess_batch
+
+    inner = make_eval_loss_step(
+        model, criterion_cfg, mesh, axis=axis, bank_sharding=bank_sharding
+    )
+    base_key = jax.random.key(seed + 3)
+
+    @jax.jit
+    def fused(state: TrainState, raw_batch: Batch, batch_idx):
+        key = jax.random.fold_in(base_key, batch_idx)
+        batch = preprocess_batch(key, raw_batch, pp_cfg, train=False)
+        return inner(state, batch, batch_idx)
+
+    return fused
+
+
 def make_embed_fn(model, mesh: Mesh, axis: str = DATA_AXIS) -> Callable:
     """Jitted inference embeddings (no state mutation), data-sharded."""
 
