@@ -269,21 +269,145 @@ def import_model_orbax(path: str) -> Dict[str, Any]:
     }
 
 
+def reference_parameter_order(keys) -> list:
+    """Sort torch-format PARAMETER keys (buffers excluded) into the
+    reference `model.parameters()` registration order — the order torch
+    optimizers index their per-parameter state by (`state[i]` pairs with
+    `param_groups[0]['params'][i]`). Derived from the reference module
+    definitions: av_wrapper.py:36-48 (video_model, audio_model,
+    video_proj, audio_proj), video.py:19-41 / audio.py:20-31 (stem then
+    stages/blocks), network_blocks.py:13-51 (attribute order within each
+    block); torch yields a module's own params (weight before bias)
+    before recursing into children in registration order."""
+    TOWERS = {"video_model": 0, "audio_model": 1,
+              "video_proj": 2, "audio_proj": 3}
+    R2P1D = {"spt_conv1": 0, "spt_bn1": 1, "tmp_conv1": 2, "tmp_bn1": 3,
+             "spt_conv2": 4, "spt_bn2": 5, "tmp_conv2": 6, "out_bn": 7,
+             "res_conv": 8}
+    BASIC2D = {"conv1": 0, "bn1": 1, "conv2": 2, "bn2": 3}
+    LEAF = {"weight": 0, "bias": 1}
+
+    def sort_key(key):
+        parts = re.sub(r"^module\.", "", key).split(".")
+        tower, rest, leaf = parts[0], parts[1:-1], parts[-1]
+        if tower in ("video_proj", "audio_proj"):
+            # projection.<i>.{weight,bias}
+            return (TOWERS[tower], int(rest[1]), 0, 0, LEAF[leaf])
+        if rest[0] == "conv1":  # stem Sequential: 0=conv, 1=BN
+            return (TOWERS[tower], 0, int(rest[1]), 0, LEAF[leaf])
+        if tower == "audio_model":  # block<i>.<sub>
+            return (TOWERS[tower], int(rest[0][-1]), 0,
+                    BASIC2D[rest[1]], LEAF[leaf])
+        # video stages conv{2..5}x[.<block_idx>].<sub>
+        stage = int(rest[0][4])  # conv2x -> 2
+        if rest[1].isdigit():
+            block, sub = int(rest[1]), rest[2]
+        else:
+            block, sub = 0, rest[1]  # depth-10 bare block
+        return (TOWERS[tower], stage, block, R2P1D[sub], LEAF[leaf])
+
+    param_keys = [
+        k for k in keys
+        if k.rsplit(".", 1)[-1] in ("weight", "bias")
+        and "running_" not in k and "num_batches" not in k
+    ]
+    return sorted(param_keys, key=sort_key)
+
+
+def _leaf(node, name):
+    """Attribute-or-key access: works on typed optax states AND raw
+    orbax-restored nested dicts."""
+    if isinstance(node, dict):
+        return node.get(name)
+    return getattr(node, name, None)
+
+
+def find_adam_state(opt_state):
+    """Locate the Adam moments (count, mu, nu) inside an optax chain
+    state — typed (ScaleByAdamState) or a raw orbax dict restore.
+    Returns None if the chain carries no Adam transform."""
+    found = []
+
+    def visit(node):
+        if node is None or isinstance(node, (jnp.ndarray, np.ndarray)):
+            return
+        mu, nu, count = _leaf(node, "mu"), _leaf(node, "nu"), _leaf(node, "count")
+        if mu is not None and nu is not None and count is not None:
+            found.append((count, mu, nu))
+            return
+        children = node.values() if isinstance(node, dict) else (
+            node if isinstance(node, (tuple, list)) else ()
+        )
+        for c in children:
+            visit(c)
+
+    visit(opt_state)
+    return found[0] if found else None
+
+
 def export_pth_tar(
     variables: Dict[str, Any],
     path: str,
     bank: Optional[BankState] = None,
     epoch: int = 0,
+    opt_state=None,
+    opt_hparams: Optional[Dict[str, Any]] = None,
 ):
     """Write a reference-compatible checkpoint (model keys prefixed
-    `module.` like the DDP-wrapped reference save)."""
+    `module.` like the DDP-wrapped reference save; dict schema
+    utils/main_utils.py:271-287: {'epoch','model','optimizer',
+    'train_criterion'}).
+
+    `opt_state` (an optax chain state or a raw orbax restore of one)
+    exports the Adam moments as a torch `optimizer.state_dict()` —
+    exp_avg/exp_avg_sq per parameter, indexed in the reference
+    `model.parameters()` registration order — so a framework run resumes
+    in the reference with intact moments. `opt_hparams` fills the torch
+    param_group (lr/betas/eps/weight_decay)."""
     import torch
 
+    torch_sd = flax_to_torch_state(variables)
     model_sd = {
         f"module.{k}": torch.from_numpy(np.array(v))
-        for k, v in flax_to_torch_state(variables).items()
+        for k, v in torch_sd.items()
     }
     ckp: Dict[str, Any] = {"epoch": epoch, "model": model_sd}
+    if opt_state is not None:
+        adam = find_adam_state(opt_state)
+        if adam is None:
+            raise ValueError("opt_state carries no Adam moments to export")
+        count, mu, nu = adam
+        # route the moment trees through the SAME flax->torch mapping as
+        # the params (kernel transposes included), then index in
+        # registration order
+        mu_t = flax_to_torch_state({"params": mu})
+        nu_t = flax_to_torch_state({"params": nu})
+        order = reference_parameter_order(torch_sd.keys())
+        hp = dict(opt_hparams or {})
+        step_t = torch.tensor(float(np.asarray(count)))
+        ckp["optimizer"] = {
+            "state": {
+                i: {
+                    "step": step_t.clone(),
+                    "exp_avg": torch.from_numpy(np.array(mu_t[k])),
+                    "exp_avg_sq": torch.from_numpy(np.array(nu_t[k])),
+                }
+                for i, k in enumerate(order)
+            },
+            "param_groups": [{
+                "lr": float(hp.get("lr", 1e-4)),
+                "betas": tuple(hp.get("betas", (0.9, 0.999))),
+                "eps": float(hp.get("eps", 1e-8)),
+                "weight_decay": float(hp.get("weight_decay", 0.0)),
+                "amsgrad": False,
+                "maximize": False,
+                "foreach": None,
+                "capturable": False,
+                "differentiable": False,
+                "fused": None,
+                "params": list(range(len(order))),
+            }],
+        }
     if bank is not None:
         ckp["train_criterion"] = {
             "nce_average.view1_mem": torch.from_numpy(np.array(bank.view1_mem)),
@@ -291,6 +415,68 @@ def export_pth_tar(
             "criterion.avg_exp_score": torch.tensor(float(bank.z)),
         }
     torch.save(ckp, path)
+
+
+def import_optimizer_pth_tar(path: str, params, optimizer):
+    """Reference checkpoint `optimizer` section -> optax chain state with
+    the Adam moments restored (inverse of export_pth_tar's optimizer
+    export; reference resume: utils/main_utils.py:290-300). `optimizer`
+    is the optax transform the state must fit; moments for parameters
+    the checkpoint lacks stay zero."""
+    import torch
+
+    ckp = torch.load(path, map_location="cpu", weights_only=False)
+    if "optimizer" not in ckp:
+        raise KeyError(f"{path} has no optimizer section")
+    opt_sd = ckp["optimizer"]
+    order = reference_parameter_order(
+        flax_to_torch_state({"params": params}).keys()
+    )
+
+    def build_moment(field):
+        tree = jax.tree.map(lambda p: np.zeros_like(np.asarray(p)), params)
+        for i, key in enumerate(order):
+            st = opt_sd["state"].get(i, opt_sd["state"].get(str(i)))
+            if st is None:
+                continue
+            arr = np.asarray(st[field])
+            mapped = _torch_key_to_flax(key)
+            if mapped is None:
+                continue
+            mpath, leaf, _ = mapped
+            if leaf == "kernel":
+                arr = _to_flax_kernel(arr)
+            node = tree
+            for p in mpath:
+                node = node[p]
+            node[leaf] = arr
+        return jax.tree.map(jnp.asarray, tree)
+
+    steps = [np.asarray(s["step"]) for s in opt_sd["state"].values()]
+    count = jnp.asarray(int(steps[0]) if steps else 0, jnp.int32)
+    mu = build_moment("exp_avg")
+    nu = build_moment("exp_avg_sq")
+
+    import optax
+
+    opt_state = optimizer.init(params)
+
+    def replace_adam(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+        if isinstance(node, tuple):
+            kids = [replace_adam(c) for c in node]
+            # namedtuple states reconstruct by fields; the chain itself
+            # is a plain tuple
+            if hasattr(node, "_fields"):
+                return type(node)(*kids)
+            return tuple(kids)
+        return node
+
+    new_state = replace_adam(opt_state)
+    if find_adam_state(new_state) is None:
+        raise ValueError("optimizer has no Adam transform to restore into")
+    return new_state
 
 
 # ---------------------------------------------------------------------------

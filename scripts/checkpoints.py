@@ -19,6 +19,10 @@ import os
 import subprocess
 import sys
 
+# `python scripts/checkpoints.py ...` puts scripts/ (not the repo root)
+# on sys.path; the converters import avid_cma_tpu
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 RELEASED = {
     "AVID/Kinetics/Cross-N1024": "https://dl.fbaipublicfiles.com/avid-cma/checkpoints/AVID_Kinetics_Cross-N1024_checkpoint.pth.tar",
     "AVID/Audioset/Cross-N1024": "https://dl.fbaipublicfiles.com/avid-cma/checkpoints/AVID_Audioset_Cross-N1024_checkpoint.pth.tar",
@@ -82,10 +86,45 @@ def cmd_convert(args):
 
 
 def cmd_export(args):
-    print("use avid_cma_tpu.train.checkpoint.export_pth_tar from a train "
-          "state; standalone export requires the model config to rebuild "
-          "the variable tree.")
-    sys.exit(2)
+    """Framework orbax pretrain run -> reference-format `.pth.tar`
+    (model + Adam moments + banks/Z; dict schema
+    utils/main_utils.py:271-287), resumable by the reference."""
+    import jax.numpy as jnp
+
+    from avid_cma_tpu.criterions.avid import BankState
+    from avid_cma_tpu.train.checkpoint import (
+        _restore_raw_orbax,
+        export_pth_tar,
+        find_adam_state,
+    )
+
+    raw = _restore_raw_orbax(args.path)
+    variables = {
+        "params": raw["params"],
+        "batch_stats": raw.get("batch_stats", {}),
+    }
+    bank = None
+    if raw.get("bank") is not None:
+        b = raw["bank"]
+        bank = BankState(
+            view1_mem=jnp.asarray(b["view1_mem"]),
+            view2_mem=jnp.asarray(b["view2_mem"]),
+            z=jnp.asarray(b["z"], jnp.float32),
+        )
+    opt_state = raw.get("opt_state")
+    if opt_state is not None and find_adam_state(opt_state) is None:
+        print("note: no Adam moments in opt_state; exporting model only")
+        opt_state = None
+    hp = {}
+    if args.lr is not None:
+        hp["lr"] = args.lr
+    if args.weight_decay is not None:
+        hp["weight_decay"] = args.weight_decay
+    export_pth_tar(
+        variables, args.out, bank=bank, epoch=int(raw.get("epoch", 0)),
+        opt_state=opt_state, opt_hparams=hp,
+    )
+    print(f"wrote {args.out}")
 
 
 def main():
@@ -102,6 +141,12 @@ def main():
     c.add_argument("out")
     c.set_defaults(fn=cmd_convert)
     e = sub.add_parser("export")
+    e.add_argument("path", help="model_dir or orbax dir of a pretrain run")
+    e.add_argument("out", help="output .pth.tar")
+    e.add_argument("--lr", type=float, default=None,
+                   help="param_group lr recorded in the export")
+    e.add_argument("--weight-decay", dest="weight_decay", type=float,
+                   default=None)
     e.set_defaults(fn=cmd_export)
     args = p.parse_args()
     args.fn(args)

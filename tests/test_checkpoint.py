@@ -147,3 +147,210 @@ def test_milestone_checkpoints_survive_retention(tmp_path):
     assert 2 in set(mgr2._mgr.all_steps())
     restored = mgr2.restore({"x": jnp.zeros(4, jnp.float32)}, step=2)
     np.testing.assert_allclose(np.asarray(restored["x"]), np.arange(4) + 2)
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference not mounted")
+def test_parameter_order_matches_reference_torch():
+    """reference_parameter_order must reproduce the reference
+    `model.parameters()` registration order EXACTLY — torch optimizers
+    index their state by it (utils/main_utils.py:290-300)."""
+    import torch
+
+    from avid_cma_tpu.train.checkpoint import reference_parameter_order
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        from models.av_wrapper import av_wrapper as torch_av_wrapper
+    finally:
+        sys.path.pop(0)
+
+    for vdepth in (10, 18):
+        tmodel = torch_av_wrapper(
+            "R2Plus1D", {"depth": vdepth}, "Conv2D", {"depth": 10},
+            proj_dim=[512, 512, 128],
+        )
+        want = [name for name, _ in tmodel.named_parameters()]
+        got = reference_parameter_order(tmodel.state_dict().keys())
+        assert got == want
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference not mounted")
+def test_optimizer_export_loads_into_reference_adam(tmp_path):
+    """Export with Adam moments -> the reference's actual
+    torch.optim.Adam accepts the state dict and ends up holding OUR
+    moments on the right parameters (capability:
+    utils/main_utils.py:271-300 save/resume with optimizer state)."""
+    import optax
+    import torch
+
+    from avid_cma_tpu.train.checkpoint import (
+        export_pth_tar,
+        reference_parameter_order,
+    )
+    from avid_cma_tpu.train.optim import build_optimizer
+
+    model = small_model()
+    video = jnp.zeros((1, 4, 32, 32, 3))
+    audio = jnp.zeros((1, 64, 65, 1))
+    variables = model.init(jax.random.key(3), video, audio, train=False)
+    params = variables["params"]
+
+    optimizer = build_optimizer("adam", 1e-4, weight_decay=1e-5)
+    opt_state = optimizer.init(params)
+    # two real optax steps so the moments are non-trivial
+    for s in (4, 5):
+        grads = jax.tree.map(
+            lambda p, k=s: jax.random.normal(jax.random.key(k), p.shape) * 0.1,
+            params,
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    path = str(tmp_path / "with_opt.pth.tar")
+    export_pth_tar(
+        {"params": params, "batch_stats": variables.get("batch_stats", {})},
+        path, epoch=3, opt_state=opt_state,
+        opt_hparams={"lr": 1e-4, "weight_decay": 1e-5},
+    )
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        from models.av_wrapper import av_wrapper as torch_av_wrapper
+    finally:
+        sys.path.pop(0)
+    tmodel = torch_av_wrapper(
+        "R2Plus1D", {"depth": 18}, "Conv2D", {"depth": 10},
+        proj_dim=[512, 512, 128],
+    )
+    ckp = torch.load(path, map_location="cpu", weights_only=False)
+    # the model weights load (strict) and the optimizer state loads into
+    # the reference's own Adam construction (utils/main_utils.py:251-256)
+    tmodel.load_state_dict(
+        {k.replace("module.", ""): v for k, v in ckp["model"].items()}
+    )
+    topt = torch.optim.Adam(tmodel.parameters(), lr=1e-4, weight_decay=1e-5)
+    topt.load_state_dict(ckp["optimizer"])
+
+    # moments landed on the right parameters: torch's parameter i must
+    # hold the moment our export placed at index i
+    from avid_cma_tpu.train.checkpoint import find_adam_state, flax_to_torch_state
+
+    _, mu, _ = find_adam_state(opt_state)
+    mu_t = flax_to_torch_state({"params": mu})
+    order = reference_parameter_order(tmodel.state_dict().keys())
+    tparams = list(tmodel.parameters())
+    assert len(tparams) == len(order)
+    for i in (0, 7, len(order) // 2, len(order) - 1):
+        got = topt.state[tparams[i]]["exp_avg"].numpy()
+        np.testing.assert_allclose(got, np.asarray(mu_t[order[i]]), rtol=1e-6)
+        assert float(topt.state[tparams[i]]["step"]) == 2.0
+
+    # and torch can actually STEP from the restored moments (batch of 2:
+    # torch BN rejects 1-sample training batches)
+    tv = torch.zeros((2, 3, 4, 32, 32))
+    ta = torch.zeros((2, 1, 64, 65))
+    loss = sum(o.square().mean() for o in tmodel(tv, ta))
+    loss.backward()
+    topt.step()
+
+
+def test_optimizer_roundtrip_through_pth_tar(tmp_path):
+    """N steps -> export -> import -> continue must match a continuous
+    run: the moments survive the torch round trip bit-for-bit and the
+    next update is identical."""
+    import optax
+
+    from avid_cma_tpu.train.checkpoint import (
+        export_pth_tar,
+        find_adam_state,
+        import_optimizer_pth_tar,
+    )
+    from avid_cma_tpu.train.optim import build_optimizer
+
+    model = small_model()
+    video = jnp.zeros((1, 4, 32, 32, 3))
+    audio = jnp.zeros((1, 64, 65, 1))
+    variables = model.init(jax.random.key(6), video, audio, train=False)
+    params = variables["params"]
+    optimizer = build_optimizer("adam", 1e-3, weight_decay=1e-5)
+    opt_state = optimizer.init(params)
+
+    def grad_at(step):
+        return jax.tree.map(
+            lambda p: jax.random.normal(jax.random.key(100 + step), p.shape) * 0.1,
+            params,
+        )
+
+    for s in range(2):
+        updates, opt_state = optimizer.update(grad_at(s), opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    path = str(tmp_path / "rt.pth.tar")
+    export_pth_tar({"params": params}, path, opt_state=opt_state)
+    restored = import_optimizer_pth_tar(path, params, optimizer)
+
+    c0, mu0, nu0 = find_adam_state(opt_state)
+    c1, mu1, nu1 = find_adam_state(restored)
+    assert int(c0) == int(c1)
+    for a, b in zip(jax.tree.leaves(mu0), jax.tree.leaves(mu1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(nu0), jax.tree.leaves(nu1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # one more identical step from both states -> identical params
+    u_cont, _ = optimizer.update(grad_at(2), opt_state, params)
+    u_rest, _ = optimizer.update(grad_at(2), restored, params)
+    for a, b in zip(jax.tree.leaves(u_cont), jax.tree.leaves(u_rest)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scripts_export_from_orbax_run(tmp_path):
+    """`scripts/checkpoints.py export <run> <out.pth.tar>`: a framework
+    orbax checkpoint (raw nested-dict restore, no typed optax states)
+    exports model + banks + Adam moments (closes the reference
+    round-trip without hand-written glue)."""
+    import subprocess
+    import sys as _sys
+
+    import optax
+    import torch
+
+    from avid_cma_tpu.criterions.avid import init_bank_state
+    from avid_cma_tpu.train.checkpoint import CheckpointManager
+    from avid_cma_tpu.train.optim import build_optimizer
+    from avid_cma_tpu.train.state import TrainState
+
+    model = small_model()
+    video = jnp.zeros((1, 4, 32, 32, 3))
+    audio = jnp.zeros((1, 64, 65, 1))
+    variables = model.init(jax.random.key(9), video, audio, train=False)
+    optimizer = build_optimizer("adam", 1e-4, weight_decay=1e-5)
+    params = variables["params"]
+    opt_state = optimizer.init(params)
+    grads = jax.tree.map(
+        lambda p: jax.random.normal(jax.random.key(11), p.shape) * 0.1, params
+    )
+    _, opt_state = optimizer.update(grads, opt_state, params)
+    state = TrainState(
+        step=jnp.int32(5), epoch=jnp.int32(2), params=params,
+        batch_stats=variables.get("batch_stats", {}), opt_state=opt_state,
+        bank=init_bank_state(jax.random.key(12), 16, 128),
+        rng=jax.random.key(0),
+    )
+    run_dir = tmp_path / "run"
+    CheckpointManager(str(run_dir / "orbax")).save(5, state)
+
+    out = tmp_path / "exported.pth.tar"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, "scripts/checkpoints.py", "export",
+         str(run_dir), str(out)],
+        cwd=repo, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    ckp = torch.load(str(out), map_location="cpu", weights_only=False)
+    assert set(ckp) >= {"epoch", "model", "optimizer", "train_criterion"}
+    assert ckp["epoch"] == 2
+    n_params = len(jax.tree.leaves(params))
+    assert len(ckp["optimizer"]["state"]) == n_params
+    assert float(ckp["optimizer"]["state"][0]["step"]) == 1.0
