@@ -309,7 +309,7 @@ class MultiprocessDataLoader:
                         continue
                     if batch is None:
                         raise RuntimeError("ring closed before completion")
-                    bi = int(batch.pop("__batch_index__"))
+                    bi = int(np.asarray(batch.pop("__batch_index__")).reshape(-1)[0])
                     pending[bi] = batch
                 yield pending.pop(next_bi)
                 ring.set_consumed(next_bi + 1)  # wakes window-gated producers

@@ -199,3 +199,27 @@ def test_import_model_orbax_roundtrip(tmp_path):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-6)
+
+
+def test_run_pretraining_with_native_loader(tmp_path):
+    """The production combination the C++ ring was built for: fork
+    workers + shm ring + the jitted fused step + orbax saves in one
+    run_pretraining (reference analogue: DataLoader worker processes
+    feeding DDP training, utils/main_utils.py:214-228)."""
+    import pytest
+
+    from avid_cma_tpu import native
+    from avid_cma_tpu.train.loop import run_pretraining
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+
+    cfg = pretrain_cfg(tmp_path)
+    cfg["loader"] = "native"
+    cfg.model["name"] = "smoke-native"
+    state = run_pretraining(cfg, debug=True)
+    assert int(state.step) >= 2
+    assert float(state.bank.z) > 0
+    import os
+
+    assert os.path.isdir(str(tmp_path / "smoke-native" / "orbax"))
