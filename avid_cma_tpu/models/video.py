@@ -34,6 +34,12 @@ _STAGE_PLANES = (64, 128, 256, 512)
 class R2Plus1D(nn.Module):
     depth: int = 18
     dtype: jnp.dtype | None = None
+    # stages (2..5 = conv2x..conv5x) whose blocks are rematerialized in
+    # the backward pass (jax.checkpoint): saves only each block's input
+    # instead of its four conv intermediates. A bandwidth/capacity trade
+    # for the early high-resolution stages; OFF by default (measured
+    # slower on v5e, PERF.md).
+    remat_stages: Tuple[int, ...] = ()
 
     out_dim: int = 512
 
@@ -69,13 +75,16 @@ class R2Plus1D(nn.Module):
             zip(_STAGE_BLOCKS[self.depth], _STAGE_PLANES)
         ):
             stride = (1, 1, 1) if stage_idx == 0 else (2, 2, 2)
+            block_cls = BasicR2P1DBlock
+            if stage_idx + 2 in self.remat_stages:
+                block_cls = nn.remat(BasicR2P1DBlock, static_argnums=(2,))
             for b in range(n_blocks):
-                h = BasicR2P1DBlock(
+                h = block_cls(
                     planes,
                     stride=stride if b == 0 else (1, 1, 1),
                     dtype=self.dtype,
                     name=f"conv{stage_idx + 2}x_{b}",
-                )(h, train=train)
+                )(h, train)
             taps[f"conv{stage_idx + 2}x"] = h
 
         # AdaptiveMaxPool3d((1,1,1)) == global max over (T, H, W)

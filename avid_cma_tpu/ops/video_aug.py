@@ -158,26 +158,34 @@ def color_jitter_clip(
     """Clip-consistent color jitter on float RGB in [0,1]
     (video_transforms.py:438-475; factors sampled once per clip)."""
     kb, kc, ks, kh = jax.random.split(key, 4)
+    # factors are cast to the clip dtype: jax.random.uniform returns a
+    # STRONG f32 scalar, and bf16 * f32 promotes — without the cast the
+    # whole jitter chain (incl. both HSV conversions) silently runs at
+    # full-res f32, doubling its HBM traffic
     if brightness > 0:
         f = jax.random.uniform(
             kb, minval=max(0.0, 1 - brightness), maxval=1 + brightness
-        )
+        ).astype(clip.dtype)
         clip = jnp.clip(clip * f, 0.0, 1.0)
     if contrast > 0:
-        f = jax.random.uniform(kc, minval=max(0.0, 1 - contrast), maxval=1 + contrast)
+        f = jax.random.uniform(
+            kc, minval=max(0.0, 1 - contrast), maxval=1 + contrast
+        ).astype(clip.dtype)
         # PIL Contrast: blend with the mean luminance gray image
         lum = jnp.mean(
             0.299 * clip[..., 0] + 0.587 * clip[..., 1] + 0.114 * clip[..., 2]
         )
         clip = jnp.clip((clip - lum) * f + lum, 0.0, 1.0)
     if saturation > 0:
-        f = jax.random.uniform(ks, minval=max(0.0, 1 - saturation), maxval=1 + saturation)
+        f = jax.random.uniform(
+            ks, minval=max(0.0, 1 - saturation), maxval=1 + saturation
+        ).astype(clip.dtype)
         gray = (
             0.299 * clip[..., 0] + 0.587 * clip[..., 1] + 0.114 * clip[..., 2]
         )[..., None]
         clip = jnp.clip((clip - gray) * f + gray, 0.0, 1.0)
     if hue > 0:
-        f = jax.random.uniform(kh, minval=-hue, maxval=hue)
+        f = jax.random.uniform(kh, minval=-hue, maxval=hue).astype(clip.dtype)
         hsv = _rgb_to_hsv(clip)
         hsv = hsv.at[..., 0].set((hsv[..., 0] + f) % 1.0)
         clip = _hsv_to_rgb(hsv)
