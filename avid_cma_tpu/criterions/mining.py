@@ -172,7 +172,8 @@ def mine_positives_sharded(
     pos_k: int,
     kind: str = "consensus",
     tile: int = 256,
-    mesh: Optional[Mesh] = None,
+    *,
+    mesh: Mesh,
     axis: str = "data",
     exact: bool = True,
 ) -> jax.Array:

@@ -133,6 +133,15 @@ def sync_float(value: float, reduce: str = "mean") -> float:
     raise ValueError(f"unknown reduce '{reduce}'")
 
 
+def sync_any(flag: bool) -> bool:
+    """True if the flag is set on ANY process (lockstep pump control for
+    loops where every process must keep dispatching until all are done).
+    No-op single-process."""
+    if not is_multiprocess():
+        return bool(flag)
+    return sync_float(float(bool(flag)), reduce="sum") > 0
+
+
 def sync_counts(counts: np.ndarray) -> np.ndarray:
     """Cross-process SUM of an integer/float count vector (eval metric
     accumulators: correct@k / totals). No-op single-process."""

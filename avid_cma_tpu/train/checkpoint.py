@@ -519,8 +519,14 @@ class CheckpointManager:
 
         if milestone:
             self._milestones.add(int(step))
-            with open(self._milestones_path, "w") as f:
-                f.write("\n".join(str(s) for s in sorted(self._milestones)))
+            # rank-0 only, atomically: every process calls save() under
+            # multi-host orbax over a shared filesystem, and a concurrent
+            # truncate+write could tear the milestone set
+            if jax.process_index() == 0:
+                tmp = self._milestones_path + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write("\n".join(str(s) for s in sorted(self._milestones)))
+                os.replace(tmp, self._milestones_path)
         saved = self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force or milestone
         )

@@ -37,6 +37,7 @@ from avid_cma_tpu.parallel.multihost import (
     global_batch,
     is_multiprocess,
     process_local_slice,
+    sync_any,
     sync_counts,
 )
 from avid_cma_tpu.train import builders
@@ -163,11 +164,9 @@ def _apply_logits(logits_fn, state, frames, mesh: Mesh):
         if isinstance(out, dict):
             return {k: np.asarray(v) for k, v in out.items()}
         return np.asarray(out)
-    import jax as _jax
-
     f = np.asarray(frames)
     n = f.shape[0]
-    pad = (-n) % _jax.local_device_count()
+    pad = (-n) % jax.local_device_count()
     if pad:
         f = np.concatenate([f, np.repeat(f[-1:], pad, axis=0)], axis=0)
     g = global_batch({"frames": f}, mesh)["frames"]
@@ -240,8 +239,9 @@ def _dump_eval_config(eval_cfg, eval_dir: str, logger) -> None:
     import yaml
 
     os.makedirs(eval_dir, exist_ok=True)
-    with open(os.path.join(eval_dir, "config.yaml"), "w") as f:
-        yaml.safe_dump(eval_cfg.to_dict(), f)
+    if jax.process_index() == 0:  # shared filesystem under multi-host
+        with open(os.path.join(eval_dir, "config.yaml"), "w") as f:
+            yaml.safe_dump(eval_cfg.to_dict(), f)
     logger.log_config(eval_cfg)
 
 
@@ -547,18 +547,6 @@ def _clip_eval(
     return 100.0 * c1 / n, 100.0 * c5 / n
 
 
-def _any_process(flag: bool) -> bool:
-    """True if ANY process still has work (lockstep pump control)."""
-    if not is_multiprocess():
-        return flag
-    from jax.experimental import multihost_utils
-
-    return bool(
-        multihost_utils.process_allgather(np.asarray([flag], np.int32)).sum()
-        > 0
-    )
-
-
 def _dense_eval(
     state, logits_fn, dense_ds, pp_cfg, batch_clips: int, workers: int = 1,
     max_videos: Optional[int] = None, mesh: Optional[Mesh] = None,
@@ -589,10 +577,14 @@ def _dense_eval(
         dense_ds, batch_size=1, shuffle=False, drop_last=False,
         num_workers=max(workers, 1), num_shards=nproc, shard_index=rank,
     )
-    # fixed flush size: a local-device multiple so the global batch
-    # splits evenly across the mesh under multi-process execution
+    # fixed flush size: `batch_clips` is the GLOBAL batch (like every
+    # other loader, whose build divides batch_size by num_shards), so
+    # each process flushes its 1/nproc share, rounded up to a
+    # local-device multiple so the assembled global batch splits evenly
+    # across the mesh
     ld = jax.local_device_count() if is_multiprocess() else 1
-    rows_per_flush = -(-int(batch_clips) // ld) * ld
+    per_proc = -(-int(batch_clips) // nproc)
+    rows_per_flush = max(ld, -(-per_proc // ld) * ld)
 
     prob_sum: list = []  # per local video: tap -> running prob sum
     clip_cnt: list = []
@@ -627,7 +619,7 @@ def _dense_eval(
             pending_slots.append(slot)
             template_row = row
         has_work = bool(pending_rows)
-        if not _any_process(has_work):
+        if not sync_any(has_work):
             break
         k = len(pending_rows)
         if k:

@@ -75,6 +75,12 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
                            enabled=bool(cfg.get("log2tb", False)))
     logger.add_line(f"devices={n_dev} mesh={mesh.shape} seed={seed}")
     logger.log_config(cfg)
+    if jax.process_index() == 0:  # resolved config: read back by
+        import yaml               # scripts/checkpoints.py export
+
+        os.makedirs(model_dir, exist_ok=True)
+        with open(os.path.join(model_dir, "config.yaml"), "w") as f:
+            yaml.safe_dump(cfg.to_dict(), f)
 
     db_cfg = cfg.dataset
     if debug:
@@ -335,6 +341,25 @@ def _init_bank(loss_cfg: Config, crit_cfg, pad_devices: int, seed: int,
         )
         if isinstance(crit_cfg, AVIDCMAConfig) and ck:
             logger.add_line(f"warning: CMA checkpoint {ck} missing; random banks")
+
+    # A checkpoint from a sharded-bank run carries mesh-padded rows;
+    # trim back to the corpus size so (a) replicated-mode mining never
+    # sees the zero pad rows and (b) re-padding below matches THIS run's
+    # device count, not the source run's.
+    n = int(crit_cfg.num_data)
+    if bank.view1_mem.shape[0] != n:
+        if bank.view1_mem.shape[0] < n:
+            raise ValueError(
+                f"checkpoint banks have {bank.view1_mem.shape[0]} rows; "
+                f"config num_data={n}"
+            )
+        logger.add_line(
+            f"trimming restored banks {bank.view1_mem.shape[0]} -> {n} "
+            "rows (source run's sharding pad)"
+        )
+        bank = bank.replace(
+            view1_mem=bank.view1_mem[:n], view2_mem=bank.view2_mem[:n]
+        )
 
     if isinstance(crit_cfg, AVIDCMAConfig):
         pos = jnp.zeros((crit_cfg.num_data, crit_cfg.pos_k), jnp.int32)

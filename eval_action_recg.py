@@ -20,8 +20,14 @@ def main():
                    help="skip training; evaluate the saved checkpoint")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed for multi-host runs")
     p.add_argument("--set", dest="overrides", action="append", default=[])
     args = p.parse_args()
+    if args.multihost:
+        from avid_cma_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost()
     # flag parity with the reference CLI (eval-action-recg.py:21-24);
     # the loops read these as config keys
     for flag in ("test_only", "resume", "quiet"):

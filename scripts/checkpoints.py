@@ -85,6 +85,19 @@ def cmd_convert(args):
     print(f"wrote {args.out}/model.npz")
 
 
+def _load_run_config(path):
+    """The run's resolved config.yaml (dumped by run_pretraining next to
+    orbax/), searched at `path` and its parent. None if absent."""
+    import yaml
+
+    for d in (path, os.path.dirname(os.path.abspath(path))):
+        cand = os.path.join(d, "config.yaml")
+        if os.path.isfile(cand):
+            with open(cand) as f:
+                return yaml.safe_load(f)
+    return None
+
+
 def cmd_export(args):
     """Framework orbax pretrain run -> reference-format `.pth.tar`
     (model + Adam moments + banks/Z; dict schema
@@ -99,27 +112,53 @@ def cmd_export(args):
     )
 
     raw = _restore_raw_orbax(args.path)
+    run_cfg = _load_run_config(args.path)
     variables = {
         "params": raw["params"],
         "batch_stats": raw.get("batch_stats", {}),
     }
+    num_data = args.num_data
+    if num_data is None and run_cfg is not None:
+        num_data = run_cfg.get("loss", {}).get("args", {}).get("num_data")
     bank = None
     if raw.get("bank") is not None:
         b = raw["bank"]
-        bank = BankState(
-            view1_mem=jnp.asarray(b["view1_mem"]),
-            view2_mem=jnp.asarray(b["view2_mem"]),
-            z=jnp.asarray(b["z"], jnp.float32),
-        )
+        v1 = jnp.asarray(b["view1_mem"])
+        v2 = jnp.asarray(b["view2_mem"])
+        # a sharded-bank run stores mesh-padded rows; the reference's
+        # buffers are sized exactly num_data, so trim before export
+        if num_data is not None and v1.shape[0] > int(num_data):
+            print(f"trimming banks {v1.shape[0]} -> {num_data} rows "
+                  "(sharded-run padding)")
+            v1, v2 = v1[: int(num_data)], v2[: int(num_data)]
+        elif num_data is None:
+            print("note: no run config.yaml / --num-data; exporting bank "
+                  "rows as stored (sharded runs carry mesh-padding the "
+                  "reference cannot load)")
+        bank = BankState(view1_mem=v1, view2_mem=v2,
+                         z=jnp.asarray(b["z"], jnp.float32))
     opt_state = raw.get("opt_state")
     if opt_state is not None and find_adam_state(opt_state) is None:
         print("note: no Adam moments in opt_state; exporting model only")
         opt_state = None
+    # param_group hyperparameters: CLI flags win, else the run's config,
+    # else refuse to invent values the reference would silently adopt
     hp = {}
+    if run_cfg is not None:
+        opt = run_cfg.get("optimizer", {})
+        if "lr" in opt and "base_lr" in opt["lr"]:
+            hp["lr"] = float(opt["lr"]["base_lr"])
+        if "weight_decay" in opt:
+            hp["weight_decay"] = float(opt["weight_decay"])
     if args.lr is not None:
         hp["lr"] = args.lr
     if args.weight_decay is not None:
         hp["weight_decay"] = args.weight_decay
+    if opt_state is not None and ("lr" not in hp or "weight_decay" not in hp):
+        sys.exit("error: optimizer export needs lr/weight_decay — pass "
+                 "--lr/--weight-decay or export from a model_dir whose "
+                 "config.yaml records them (the reference's resume adopts "
+                 "whatever param_group values are written here)")
     export_pth_tar(
         variables, args.out, bank=bank, epoch=int(raw.get("epoch", 0)),
         opt_state=opt_state, opt_hparams=hp,
@@ -147,6 +186,9 @@ def main():
                    help="param_group lr recorded in the export")
     e.add_argument("--weight-decay", dest="weight_decay", type=float,
                    default=None)
+    e.add_argument("--num-data", dest="num_data", type=int, default=None,
+                   help="corpus size; trims sharded-run bank padding "
+                        "(default: the run config.yaml's loss.args.num_data)")
     e.set_defaults(fn=cmd_export)
     args = p.parse_args()
     args.fn(args)

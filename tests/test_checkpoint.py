@@ -347,6 +347,15 @@ def test_scripts_export_from_orbax_run(tmp_path):
          str(run_dir), str(out)],
         cwd=repo, capture_output=True, text=True,
     )
+    # no run config.yaml and no flags: export must REFUSE to invent
+    # param_group hyperparameters (the reference resume adopts them)
+    assert r.returncode != 0 and "--lr/--weight-decay" in (r.stderr + r.stdout)
+
+    r = subprocess.run(
+        [_sys.executable, "scripts/checkpoints.py", "export",
+         str(run_dir), str(out), "--lr", "1e-4", "--weight-decay", "1e-5"],
+        cwd=repo, capture_output=True, text=True,
+    )
     assert r.returncode == 0, r.stderr
     ckp = torch.load(str(out), map_location="cpu", weights_only=False)
     assert set(ckp) >= {"epoch", "model", "optimizer", "train_criterion"}
@@ -354,3 +363,36 @@ def test_scripts_export_from_orbax_run(tmp_path):
     n_params = len(jax.tree.leaves(params))
     assert len(ckp["optimizer"]["state"]) == n_params
     assert float(ckp["optimizer"]["state"][0]["step"]) == 1.0
+    pg = ckp["optimizer"]["param_groups"][0]
+    assert pg["lr"] == 1e-4 and pg["weight_decay"] == 1e-5
+
+    # a model_dir with the run's resolved config.yaml: hyperparameters
+    # come from it, and sharded-run bank padding is trimmed to num_data
+    import yaml
+
+    from avid_cma_tpu.parallel.sharding import pad_bank_rows
+
+    num_data = 16
+    padded = state.replace(bank=state.bank.replace(
+        view1_mem=pad_bank_rows(state.bank.view1_mem, 7),  # 16 -> 21 rows
+        view2_mem=pad_bank_rows(state.bank.view2_mem, 7),
+    ))
+    run2 = tmp_path / "run2"
+    CheckpointManager(str(run2 / "orbax")).save(5, padded)
+    with open(run2 / "config.yaml", "w") as f:
+        yaml.safe_dump({
+            "optimizer": {"name": "adam", "weight_decay": 1e-5,
+                          "lr": {"base_lr": 5e-4}},
+            "loss": {"args": {"num_data": num_data}},
+        }, f)
+    out2 = tmp_path / "exported2.pth.tar"
+    r = subprocess.run(
+        [_sys.executable, "scripts/checkpoints.py", "export",
+         str(run2), str(out2)],
+        cwd=repo, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    ckp2 = torch.load(str(out2), map_location="cpu", weights_only=False)
+    assert ckp2["train_criterion"]["nce_average.view1_mem"].shape[0] == num_data
+    pg2 = ckp2["optimizer"]["param_groups"][0]
+    assert pg2["lr"] == 5e-4 and pg2["weight_decay"] == 1e-5

@@ -185,6 +185,33 @@ def test_cma_warmstart_from_framework_avid_run(tmp_path):
     )
 
 
+def test_cma_warmstart_trims_sharded_bank_padding(tmp_path):
+    """Warm-starting from a SHARDED AVID run whose bank rows were padded
+    to a mesh multiple must trim back to num_data (loop._init_bank):
+    replicated-mode CMA mining must never rank the zero pad rows into
+    positive sets, and re-padding must match THIS run's device count."""
+    from avid_cma_tpu.train.loop import run_pretraining
+
+    avid_cfg = pretrain_cfg(tmp_path)
+    avid_cfg.loss["bank_sharding"] = "sharded"
+    avid_cfg.dataset["synthetic_size"] = 28       # pads 28 -> 32 on 8 dev
+    avid_cfg.loss["args"]["num_data"] = 28
+    state = run_pretraining(avid_cfg, debug=True)
+    n_dev = jax.device_count()
+    assert state.bank.view1_mem.shape[0] == -(-28 // n_dev) * n_dev
+
+    cma_cfg = pretrain_cfg(tmp_path, loss_name="AVID_CMA")
+    cma_cfg.model["name"] = "smoke-cma-trim"
+    cma_cfg.dataset["synthetic_size"] = 28
+    cma_cfg.loss["args"]["num_data"] = 28
+    cma_cfg.loss["args"]["checkpoint"] = str(tmp_path / "smoke")
+    cma_state = run_pretraining(cma_cfg, debug=True)  # replicated banks
+    assert cma_state.bank.view1_mem.shape[0] == 28
+    assert cma_state.bank.positive_set.shape[0] == 28
+    # mined positives index only real rows, never the source run's pad
+    assert int(np.max(np.asarray(cma_state.bank.positive_set))) < 28
+
+
 def test_import_model_orbax_roundtrip(tmp_path):
     """import_model_orbax returns the params/batch_stats a framework
     pretrain run saved (the model half of the torch-free chain)."""
