@@ -53,6 +53,7 @@ from avid_cma_tpu.train.step import (
     make_fused_eval_step,
     make_fused_train_step,
 )
+from avid_cma_tpu.utils import profiling
 from avid_cma_tpu.utils.logger import (
     AverageMeter,
     Logger,
@@ -128,6 +129,8 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
     steps_per_epoch = max(len(loader), 1)
     optimizer = build_from_config(cfg.optimizer, steps_per_epoch)
     epochs = int(cfg.optimizer["num_epochs"]) if not debug else 2
+    pw = cfg.get("profile_steps")  # [start, stop) global-step trace window
+    profile_window = tuple(int(x) for x in pw)[:2] if pw else None
     milestones = set(cfg.optimizer["lr"].get("milestones", []))
 
     # --- state init / restore ---------------------------------------------
@@ -236,12 +239,23 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
         t0 = time.time()
         for it, batch in enumerate(loader):
             meters["data_t"].update(time.time() - t0)
-            # multi-process: this process's loader shard -> global arrays
-            # over the mesh (identity single-process)
+            # profile_steps: [start, stop) global-step window captured as
+            # an XLA trace into model_dir/profile (open with
+            # TensorBoard's profile plugin; superset of the reference's
+            # wall-clock meters, SURVEY §5 'Tracing/profiling: none')
+            if profile_window and host_step == profile_window[0]:
+                profiling.start_trace(os.path.join(model_dir, "profile"))
+                logger.add_line(f"profiler: tracing steps {profile_window}")
             state, metrics = train_step(state, global_batch(batch, mesh),
                                         host_step)
             pending_losses.append((metrics["loss"], batch["index"].shape[0]))
             host_step += 1
+            if profile_window and host_step == profile_window[1]:
+                jax.block_until_ready(metrics["loss"])
+                profiling.stop_trace()
+                logger.add_line(
+                    f"profiler: trace written to {model_dir}/profile"
+                )
             # preemption-safe mid-epoch checkpointing (TPU preemption is
             # routine; the reference only saves per epoch, SURVEY §5)
             if save_freq_steps and host_step % save_freq_steps == 0:

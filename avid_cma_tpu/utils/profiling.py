@@ -27,6 +27,16 @@ def trace(logdir: str) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
+def start_trace(logdir: str) -> None:
+    """Begin an XLA trace (explicit form of `trace` for loop-driven
+    windows, e.g. run_pretraining's `profile_steps` config key)."""
+    jax.profiler.start_trace(logdir)
+
+
+def stop_trace() -> None:
+    jax.profiler.stop_trace()
+
+
 def annotate(name: str):
     """Named region on the profiler timeline (also usable as decorator)."""
     return jax.profiler.TraceAnnotation(name)

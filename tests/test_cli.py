@@ -81,6 +81,8 @@ def test_main_avid_cli(tmp_path):
     assert glob.glob(os.path.join(run_dir, "orbax", "*")), (
         "no orbax checkpoint written")
     assert os.path.isfile(os.path.join(run_dir, "train.log"))
+    # resolved config dumped for scripts/checkpoints.py export
+    assert os.path.isfile(os.path.join(run_dir, "config.yaml"))
 
 
 def test_eval_action_recg_cli(tmp_path):

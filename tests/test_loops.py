@@ -58,9 +58,14 @@ def test_run_pretraining_avid_with_test_phase_and_resume(tmp_path):
     from avid_cma_tpu.train.loop import run_pretraining
 
     cfg = pretrain_cfg(tmp_path)
+    cfg["profile_steps"] = [1, 2]  # XLA trace window (observability)
     state = run_pretraining(cfg, debug=True)
     assert int(state.step) >= 2
     assert float(state.bank.z) > 0
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "smoke" / "profile" / "**" / "*"),
+                      recursive=True), "no profiler trace captured"
 
     # resume from the saved checkpoint: no retraining of done epochs
     cfg2 = pretrain_cfg(tmp_path)

@@ -176,6 +176,65 @@ with open(out_path, "w") as f:
 """
 
 
+LINEAR_WORKER = r"""
+import json, sys
+import jax
+import numpy as np
+
+proc_id, nprocs, port, out_path, model_dir = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5]
+)
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=nprocs, process_id=proc_id,
+)
+
+from avid_cma_tpu.config import from_dict
+from avid_cma_tpu.train.eval_loop import run_linear_probe
+
+split = {"split": "trainlist{fold:02d}", "mode": "clip",
+         "clips_per_video": 1, "use_augmentation": True,
+         "use_shuffle": True, "drop_last": True}
+test = {"split": "testlist{fold:02d}", "mode": "clip",
+        "clips_per_video": 1, "use_augmentation": False,
+        "use_shuffle": False, "drop_last": False}
+ecfg = from_dict({
+    "seed": 0, "num_workers": 1, "test_only": False, "resume": False,
+    "benchmark": {"name": "probe-smoke"},
+    "dataset": {
+        "name": "ucf101", "backend": "synthetic", "synthetic_size": 16,
+        "fold": 1, "batch_size": 8, "clip_duration": 0.25,
+        "video_fps": 8.0, "crop_size": 32,
+        "train": split, "test": test,
+    },
+    "optimizer": {
+        "name": "adam", "num_epochs": 1, "weight_decay": 0.0,
+        "lr": {"name": "multistep", "base_lr": 1e-3, "gamma": 1.0,
+               "milestones": [1]},
+    },
+    "model": {
+        "name": "MOST",
+        "args": {"n_classes": 101, "feat_names": ["conv5x", "pool"],
+                 "pooling_ops": ["AdaptiveMaxPool3d((1, 1, 1))", None],
+                 "l2_norm": False, "use_bn": True, "use_dropout": False},
+    },
+})
+mcfg = from_dict({
+    "name": "smoke", "model_dir": model_dir, "arch": "av_wrapper",
+    "args": {"proj_dim": [64, 32],
+             "video_backbone": "R2Plus1D",
+             "video_backbone_args": {"depth": 10},
+             "audio_backbone": "Conv2D",
+             "audio_backbone_args": {"depth": 10}},
+})
+results = run_linear_probe(ecfg, mcfg, fold=1, debug=True)
+with open(out_path, "w") as f:
+    json.dump({ft: {k: float(v) for k, v in r.items()}
+               for ft, r in results.items()}, f)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -274,4 +333,21 @@ def test_two_process_finetune_eval_smoke(tmp_path):
     for r in results:
         for k in ("clip@1", "clip@5", "video@1", "video@5"):
             assert k in r and np.isfinite(r[k]) and 0.0 <= r[k] <= 100.0
+    assert results[0] == results[1]
+
+
+def test_two_process_linear_probe_smoke(tmp_path):
+    """The multi-tap linear probe (frozen extractor, per-tap probes,
+    summed losses, per-tap clip metrics) under 2 processes: sharded
+    loaders + per-tap cross-process count sync. Both processes must
+    report the identical globally-reduced per-tap metrics. Reference:
+    eval-action-recg-linear.py + utils/eval_utils.py:53-142."""
+    model_dir = tmp_path / "runs"
+    model_dir.mkdir()
+    results = _launch(LINEAR_WORKER, tmp_path, extra_args=(str(model_dir),),
+                      timeout=1200)
+    for r in results:
+        for ft in ("conv5x", "pool"):
+            assert ft in r and np.isfinite(r[ft]["clip@1"])
+            assert 0.0 <= r[ft]["clip@1"] <= 100.0
     assert results[0] == results[1]
