@@ -146,6 +146,59 @@ def measure(batch, crop, frames, steps, windows, dtype, dtype_name):
     }
 
 
+def measure_finetune(batch, steps, windows, dtype, dtype_name) -> dict:
+    """UCF-101 full-finetune train-step throughput at the reference
+    benchmark recipe shape (configs/benchmark/ucf/8at16-fold1.yaml:
+    8 frames @ 16 fps, 224^2 crop, CrossEntropy over 101 classes,
+    dropout head on the 'pool' tap) — the other half of the reference's
+    headline protocol (eval-action-recg.py)."""
+    from avid_cma_tpu.models.eval_wrappers import ClassificationWrapper
+    from avid_cma_tpu.models.video import R2Plus1D
+    from avid_cma_tpu.parallel.mesh import make_mesh
+    from avid_cma_tpu.train.eval_loop import make_supervised_train_step
+    from avid_cma_tpu.train.optim import build_optimizer
+    from avid_cma_tpu.train.state import TrainState
+
+    mesh = make_mesh()
+    model = ClassificationWrapper(
+        feature_extractor=R2Plus1D(depth=18, dtype=dtype),
+        n_classes=101, feat_name="pool", use_dropout=True, dropout=0.5,
+    )
+    rng = np.random.default_rng(0)
+    # preprocessed clips as the eval loop feeds them (f32, normalized)
+    frames = jnp.asarray(
+        rng.normal(size=(batch, 8, 224, 224, 3)), jnp.float32
+    )
+    labels = jnp.asarray(rng.integers(0, 101, batch), jnp.int32)
+    variables = model.init(jax.random.key(0), frames, train=False)
+    opt = build_optimizer("adam", 1e-4, weight_decay=1e-5)
+    state = TrainState(
+        step=jnp.int32(0), epoch=jnp.int32(0), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=opt.init(variables["params"]), bank=None,
+        rng=jax.random.key(0),
+    )
+    step = make_supervised_train_step(model, opt, mesh)
+    state, m, _ = step(state, frames, labels)  # warmup / compile
+    float(np.asarray(m["loss"]))
+    best = 0.0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, m, _ = step(state, frames, labels)
+        float(np.asarray(m["loss"]))  # hard sync
+        dt = time.perf_counter() - t0
+        best = max(best, batch * steps / dt)
+    return {
+        "metric": (
+            f"ucf_finetune_clips_per_sec_per_chip_b{batch}_8x224_"
+            + dtype_name
+        ),
+        "value": round(best / jax.device_count(), 2),
+        "unit": "clips/s/chip",
+    }
+
+
 def measure_mining() -> dict:
     """CMA positive-set mining at Kinetics scale (SURVEY hot loop #3):
     one exact blocked matmul+top-k sweep, N=232k x D=128, top-32."""
@@ -208,6 +261,13 @@ def main():
         for k, v in results.items()
         if v is not headline
     }
+    if not os.environ.get("BENCH_SKIP_FINETUNE"):
+        try:
+            out["secondary"]["finetune"] = measure_finetune(
+                batch, steps, windows, dtype, dtype_name
+            )
+        except Exception:
+            pass
     if not os.environ.get("BENCH_SKIP_MINING"):
         try:
             out["secondary"]["mining"] = measure_mining()
