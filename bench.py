@@ -226,6 +226,17 @@ def measure_mining() -> dict:
 
 
 def main():
+    # persistent compile cache: the big programs cost minutes to compile
+    # through the tunnel; repeat runs on the same host skip that. Set
+    # BENCH_COMPILE_CACHE= (empty) to disable.
+    cache = os.environ.get("BENCH_COMPILE_CACHE", "/root/.cache/jax_bench_cache")
+    if cache:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception:
+            pass
+
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     windows = int(os.environ.get("BENCH_WINDOWS", "5"))

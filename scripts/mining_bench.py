@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""CMA mining-sweep benchmark at configurable corpus scale.
+
+The reference fans the sweep out to an 8-GPU mp.Queue worker pool
+(criterions/avid_cma.py:100-123); here it is one jitted blocked
+matmul+top-k (criterions/mining.py). bench.py records the Kinetics-scale
+exact sweep as a secondary metric; this script measures ANY (N, top-k,
+exact|approx, tile) point — in particular the AudioSet-2M flagship scale
+(N=1,784,108) with the approx_max_k path the shipped recipe enables
+(`sampling_args.exact: false`), where the exact sweep is impractical.
+
+Memory: the banks are 2 x N x D f32 (1.8 GB at AudioSet scale) plus a
+(tile, N) f32 agreement block per modality — pick `--tile` so
+3 x tile x N x 4 bytes fits alongside the banks (tile 128 at N=1.78M
+on a 16 GB chip).
+
+Usage:
+  python scripts/mining_bench.py                        # Kinetics exact
+  python scripts/mining_bench.py --n 1784108 --approx --tile 128
+Prints one JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# `python scripts/mining_bench.py` puts scripts/ (not the repo root) on
+# sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=232_067)
+    p.add_argument("--d", type=int, default=128)
+    p.add_argument("--pos-k", dest="pos_k", type=int, default=32)
+    p.add_argument("--tile", type=int, default=1024)
+    p.add_argument("--approx", action="store_true",
+                   help="lax.approx_max_k instead of exact top-k")
+    p.add_argument("--queries", type=int, default=0,
+                   help="sweep only this many queries (0 = all N) and "
+                        "extrapolate; for quick probes at huge N")
+    args = p.parse_args()
+
+    from avid_cma_tpu.criterions.mining import _sweep_tiles
+
+    rng = np.random.default_rng(0)
+    def bank():
+        b = jnp.asarray(rng.standard_normal((args.n, args.d)), jnp.float32)
+        return b / jnp.linalg.norm(b, axis=1, keepdims=True)
+
+    bv, ba = bank(), bank()
+    nq = args.queries or args.n
+    qi = jnp.arange(nq, dtype=jnp.int32)
+
+    sweep = jax.jit(
+        lambda bv, ba: _sweep_tiles(
+            bv, ba, bv[:nq], ba[:nq], qi, pos_k=args.pos_k,
+            kind="consensus", tile=args.tile, exact=not args.approx,
+        )
+    )
+    out = sweep(bv, ba)
+    np.asarray(out)  # compile + run (full fetch = portable fence)
+    t0 = time.perf_counter()
+    out = sweep(bv, ba)
+    np.asarray(out)
+    dt = time.perf_counter() - t0
+    full = dt * (args.n / nq)
+    flops = 2 * 2 * nq * args.n * args.d  # two N x nq x D matmuls
+    print(json.dumps({
+        "metric": "cma_mining_sweep_sec",
+        "n": args.n, "d": args.d, "pos_k": args.pos_k, "tile": args.tile,
+        "exact": not args.approx, "queries": nq,
+        "value": round(dt, 2), "unit": "s",
+        "extrapolated_full_sweep_sec": round(full, 2),
+        "matmul_tflops_per_sec": round(flops / dt / 1e12, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
