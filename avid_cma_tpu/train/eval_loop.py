@@ -18,10 +18,8 @@ bound memory (BatchWrapper analogue).
 
 from __future__ import annotations
 
-import dataclasses
 import os
-import time
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -290,10 +288,14 @@ def run_action_recognition(
     test_ds = builders.build_dataset(
         db, db.test, return_audio=False, return_labels=True, fold=fold
     )
-    dense_ds = builders.build_dataset(
-        db, db.test_dense, mode="video", return_audio=False,
-        return_labels=True, fold=fold,
-    )
+    # optional like the probe's: a config without a test_dense block gets
+    # clip metrics only rather than an AttributeError at startup
+    dense_ds = None
+    if "test_dense" in db:
+        dense_ds = builders.build_dataset(
+            db, db.test_dense, mode="video", return_audio=False,
+            return_labels=True, fold=fold,
+        )
     workers = 1 if debug else int(eval_cfg.get("num_workers", 4))
     # per-process loader shards (reference: distributed eval loaders,
     # utils/eval_utils.py:53-142)
@@ -368,9 +370,6 @@ def run_action_recognition(
         with open(best_path) as f:
             best = _json.load(f)
 
-    full_template = state.replace(
-        opt_state=jax.jit(full_opt.init)(state.params)
-    )
     if eval_cfg.get("test_only") and ckpt.latest_step() is None:
         # silently training a fresh head under --test-only would report
         # warmup-quality numbers as if they were the checkpoint's
@@ -383,7 +382,13 @@ def run_action_recognition(
     )
     start_epoch = 0
     if restored:
+        # restore template built only here: its Adam moments (~2x params)
+        # would otherwise sit in HBM unused for the whole fresh-run path
+        full_template = state.replace(
+            opt_state=jax.jit(full_opt.init)(state.params)
+        )
         state = _replicate_over(ckpt.restore(full_template), mesh)
+        del full_template
         start_epoch = int(state.epoch)
         logger.add_line(
             f"restored eval checkpoint @ step {int(state.step)} "
@@ -396,14 +401,36 @@ def run_action_recognition(
         # be derived from the warmup OUTPUT, never from pre-warmup buffers.
         warmup_epochs = 1 if debug else int(opt_cfg.get("warmup_epochs", 5))
         warm_opt = optax.masked(full_opt, classifier_only_mask(params))
-        state = state.replace(
-            opt_state=jax.jit(warm_opt.init)(state.params)
-        )
         warm_step = make_supervised_train_step(model, warm_opt, mesh)
+        # warmup has its own manager: its masked opt-state tree differs
+        # from the finetune one, and preempting a 5-epoch warmup (each
+        # with a full test pass) should not restart it from scratch
+        warm_ckpt = CheckpointManager(os.path.join(eval_dir, "orbax_warmup"))
+        warm_start = 0
+        if eval_cfg.get("resume") and warm_ckpt.latest_step() is not None:
+            warm_template = state.replace(
+                opt_state=jax.jit(warm_opt.init)(state.params)
+            )
+            state = _replicate_over(warm_ckpt.restore(warm_template), mesh)
+            del warm_template
+            warm_start = int(state.epoch)
+            logger.add_line(
+                f"restored warmup checkpoint @ step {int(state.step)} "
+                f"(epoch {warm_start})"
+            )
+        else:
+            state = state.replace(
+                opt_state=jax.jit(warm_opt.init)(state.params)
+            )
+
+        def on_warmup_epoch_end(st, epoch):
+            clip_test(st, epoch, "warmup")
+            warm_ckpt.save(max(int(st.step), 1), st)
+
         state = _train_epochs(
             state, warm_step, train_loader, pp_cfg, warmup_epochs,
             logger, phase="warmup", debug=debug, mesh=mesh,
-            on_epoch_end=lambda st, ep: clip_test(st, ep, "warmup"),
+            start_epoch=warm_start, on_epoch_end=on_warmup_epoch_end,
         )
 
     if not restored:
@@ -450,14 +477,13 @@ def run_action_recognition(
     # rebuilding it here would discard the warm jit cache and recompile
     clip_top1, clip_top5 = _clip_eval(state, logits_fn, test_loader, pp_cfg,
                                       mesh)
-    video_top1, video_top5 = _dense_eval(
-        state, logits_fn, dense_ds, pp_cfg,
-        batch_clips=int(db["batch_size"]), workers=workers, mesh=mesh,
-    )
-    results = {
-        "clip@1": clip_top1, "clip@5": clip_top5,
-        "video@1": video_top1, "video@5": video_top5,
-    }
+    results = {"clip@1": clip_top1, "clip@5": clip_top5}
+    if dense_ds is not None:
+        video_top1, video_top5 = _dense_eval(
+            state, logits_fn, dense_ds, pp_cfg,
+            batch_clips=int(db["batch_size"]), workers=workers, mesh=mesh,
+        )
+        results.update({"video@1": video_top1, "video@5": video_top5})
     logger.add_line(f"RESULTS {results}")
     return results
 
@@ -467,6 +493,7 @@ def _train_epochs(
     start_epoch: int = 0, seed: int = 123,
     mesh: Optional[Mesh] = None,
     on_epoch_end: Optional[Callable] = None,
+    track_accuracy: bool = True,
 ):
     """Epoch loop for finetune/probe/warmup phases.
 
@@ -475,13 +502,15 @@ def _train_epochs(
     would force a device sync per step (the pretrain loop's host-side
     counter pattern, train/loop.py). `on_epoch_end(state, epoch)` hooks the
     reference's per-epoch test + checkpoint protocol
-    (eval-action-recg.py:83-98)."""
+    (eval-action-recg.py:83-98). `track_accuracy=False` for steps whose
+    logits are a per-tap dict (the linear probe)."""
     host_step = int(state.step)
     for epoch in range(start_epoch, epochs):
         loader.set_epoch(epoch)
         loss_m = AverageMeter("Loss", ":.4e")
         acc_m = AverageMeter("Acc@1", ":6.2f")
-        progress = ProgressMeter(len(loader), [loss_m, acc_m], phase=phase,
+        meters = [loss_m, acc_m] if track_accuracy else [loss_m]
+        progress = ProgressMeter(len(loader), meters, phase=phase,
                                  epoch=epoch, logger=logger)
         pending = []
 
@@ -489,14 +518,23 @@ def _train_epochs(
             for metrics, logits, labels in pending:
                 n = labels.shape[0]
                 loss_m.update(float(metrics["loss"]), n=n)
-                # logits come back data-sharded: this process's rows pair
-                # with its local labels
-                top1 = accuracy(process_local_slice(logits), labels, (1,))[0]
-                acc_m.update(top1, n=n)
+                if track_accuracy:
+                    # logits come back data-sharded: this process's rows
+                    # pair with its local labels
+                    top1 = accuracy(
+                        process_local_slice(logits), labels, (1,)
+                    )[0]
+                    acc_m.update(top1, n=n)
             pending.clear()
 
         for it, batch in enumerate(loader):
+            # fold the process index in: preprocessing runs host-side on
+            # each process's local rows, so a shared key would hand every
+            # process the SAME per-row crop/flip/jitter draws (the
+            # pretrain loop avoids this by augmenting the assembled
+            # global batch in-graph, train/step.py)
             key = jax.random.fold_in(jax.random.key(seed), host_step)
+            key = jax.random.fold_in(key, jax.process_index())
             frames = _preprocess_frames(batch, pp_cfg, key, train=True)
             labels = np.asarray(batch["label"])
             if is_multiprocess():
@@ -527,6 +565,16 @@ def _train_epochs(
     return state
 
 
+def _shard_real_rows(loader) -> int:
+    """Rows of this process's shard that are REAL dataset items. The
+    sampler pads every shard to equal length by repeating head indices
+    (data/loader.py ShardedBatchSampler); the duplicates land at the
+    shard's tail, so counting only the first `n_real` rows makes eval
+    metrics invariant to the process count."""
+    s = loader.sampler
+    return len(range(s.shard_index, s.dataset_len, s.num_shards))
+
+
 def _clip_eval(
     state, logits_fn, loader, pp_cfg, mesh: Mesh,
     max_batches: Optional[int] = None,
@@ -534,12 +582,20 @@ def _clip_eval(
     """Clip-level accuracy. Multi-process: the loader is already this
     process's shard; local correct@k counts are summed across processes
     (reference: distributed test loaders + meter sync,
-    utils/eval_utils.py:53-142)."""
+    utils/eval_utils.py:53-142). Sampler pad duplicates are excluded
+    from the counts (every process still dispatches every batch — the
+    lockstep global logits calls must stay collective)."""
     counts = np.zeros(3, np.int64)
+    n_real = _shard_real_rows(loader)
+    seen = 0
     for it, batch in enumerate(loader):
         frames = _preprocess_frames(batch, pp_cfg, jax.random.key(0), train=False)
         logits = _apply_logits(logits_fn, state, frames, mesh)
-        counts += _topk_counts(logits, batch["label"])
+        rows = int(np.asarray(batch["label"]).shape[0])
+        k = max(0, min(rows, n_real - seen))
+        if k:
+            counts += _topk_counts(logits[:k], batch["label"][:k])
+        seen += rows
         if max_batches is not None and it + 1 >= max_batches:
             break
     c1, c5, n = sync_counts(counts)
@@ -775,60 +831,31 @@ def run_linear_probe(
     if eval_cfg.get("test_only"):
         num_epochs = 0
 
-    # host-side step counter + buffered loss drains: no per-iteration
-    # device sync (same pattern as _train_epochs / the pretrain loop)
-    host_step = int(state.step)
-    start_epoch = int(state.epoch)
-    for epoch in range(start_epoch, num_epochs):
-        train_loader.set_epoch(epoch)
-        loss_m = AverageMeter("Loss", ":.4e")
-        progress = ProgressMeter(len(train_loader), [loss_m], phase="probe",
-                                 epoch=epoch, logger=logger)
-        pending = []
-
-        def drain():
-            for arr, n in pending:
-                loss_m.update(float(arr), n=n)
-            pending.clear()
-
-        for it, batch in enumerate(train_loader):
-            key = jax.random.fold_in(jax.random.key(7), host_step)
-            frames = _preprocess_frames(batch, pp_cfg, key, train=True)
-            labels = np.asarray(batch["label"])
-            if is_multiprocess():
-                gb = global_batch(
-                    {"frames": np.asarray(frames), "label": labels}, mesh
-                )
-                frames_in, labels_in = gb["frames"], gb["label"]
-            else:
-                frames_in, labels_in = frames, jnp.asarray(labels)
-            state, metrics, _ = step_fn(state, frames_in, labels_in)
-            host_step += 1
-            pending.append((metrics["loss"], labels.shape[0]))
-            if it % 50 == 0 or it == len(train_loader) - 1:
-                drain()
-                progress.display(it)
-            if debug and it >= 2:
-                break
-        drain()
-        if is_multiprocess():
-            progress.synchronize_meters()
-            progress.display(len(train_loader))
-        # per-epoch save: probes survive preemption mid-run
-        state = state.with_epoch(epoch + 1)
-        ckpt.save(max(host_step, 1), state)
+    # shared epoch loop (per-tap dict logits -> no accuracy meter);
+    # per-epoch saves make probes survive preemption mid-run
+    state = _train_epochs(
+        state, step_fn, train_loader, pp_cfg, num_epochs, logger,
+        phase="probe", debug=debug, start_epoch=int(state.epoch), seed=7,
+        mesh=mesh, track_accuracy=False,
+        on_epoch_end=lambda st, ep: ckpt.save(max(int(st.step), 1), st),
+    )
 
     # per-tap clip eval (local correct@k counts, summed across processes)
     logits_fn = make_logits_fn(model, mesh)
     tap_counts: Dict[str, np.ndarray] = {
         ft: np.zeros(3, np.int64) for ft in model.feat_names
     }
+    n_real = _shard_real_rows(test_loader)
+    seen = 0
     for batch in test_loader:
         frames = _preprocess_frames(batch, pp_cfg, jax.random.key(0), train=False)
         out = _apply_logits(logits_fn, state, frames, mesh)
         labels = np.asarray(batch["label"])
-        for ft in model.feat_names:
-            tap_counts[ft] += _topk_counts(out[ft], labels)
+        k = max(0, min(labels.shape[0], n_real - seen))  # drop sampler pads
+        if k:
+            for ft in model.feat_names:
+                tap_counts[ft] += _topk_counts(out[ft][:k], labels[:k])
+        seen += labels.shape[0]
     results = {}
     for ft in model.feat_names:
         c1, c5, n = sync_counts(tap_counts[ft])

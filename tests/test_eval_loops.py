@@ -82,6 +82,35 @@ def test_finetune_best_checkpoint_and_restore(tmp_path):
     np.testing.assert_allclose(results2["video@1"], results["video@1"])
 
 
+def test_finetune_warmup_checkpoint_and_resume(tmp_path):
+    """The classifier-warmup phase checkpoints per epoch (orbax_warmup)
+    and a preemption before the first finetune save resumes from the
+    warmup checkpoint instead of restarting the warmup from scratch."""
+    import shutil
+
+    from avid_cma_tpu.train.eval_loop import run_action_recognition
+
+    ecfg = finetune_cfg()
+    mcfg = model_cfg(tmp_path)
+    run_action_recognition(ecfg, mcfg, fold=1, debug=True)
+    eval_dir = os.path.join(
+        str(tmp_path), "smoke", "eval-ucf-smoke", "fold-01"
+    )
+    warm_dir = os.path.join(eval_dir, "orbax_warmup")
+    assert os.path.isdir(warm_dir) and os.listdir(warm_dir)
+
+    # simulate preemption after warmup but before any finetune save
+    shutil.rmtree(os.path.join(eval_dir, "orbax"))
+    ecfg2 = finetune_cfg()
+    ecfg2["resume"] = True
+    results = run_action_recognition(ecfg2, mcfg, fold=1, debug=True)
+    assert np.isfinite(results["clip@1"])
+    # the restored warmup state was at its final epoch: the warmup loop
+    # must NOT have rerun (its checkpoint step is unchanged)
+    log = open(os.path.join(eval_dir, "eval.log")).read()
+    assert "restored warmup checkpoint" in log
+
+
 def test_linear_probe_multi_tap(tmp_path):
     from avid_cma_tpu.train.eval_loop import run_linear_probe
 
