@@ -527,6 +527,13 @@ class CheckpointManager:
                 with open(tmp, "w") as f:
                     f.write("\n".join(str(s) for s in sorted(self._milestones)))
                 os.replace(tmp, self._milestones_path)
+        if int(step) in set(self._mgr.all_steps()):
+            # already written — e.g. a save_freq_steps save landing exactly
+            # on the epoch boundary. Re-saving under force=True raises
+            # StepAlreadyExistsError (orbax raises regardless of force);
+            # the milestone flag is recorded above and retention consults
+            # the live set, so the existing checkpoint is kept.
+            return True
         saved = self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force or milestone
         )

@@ -72,8 +72,12 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
     model_dir = os.path.join(cfg.model["model_dir"], cfg.model["name"])
     logger = Logger(path=os.path.join(model_dir, "train.log"),
                     rank=jax.process_index())
-    tb = TensorBoardWriter(os.path.join(model_dir, "tb"),
-                           enabled=bool(cfg.get("log2tb", False)))
+    tb = TensorBoardWriter(
+        os.path.join(model_dir, "tb"),
+        # rank-0 only: N processes appending the same scalar stream to a
+        # shared model_dir would duplicate every point
+        enabled=bool(cfg.get("log2tb", False)) and jax.process_index() == 0,
+    )
     logger.add_line(f"devices={n_dev} mesh={mesh.shape} seed={seed}")
     logger.log_config(cfg)
     if jax.process_index() == 0:  # resolved config: read back by
@@ -106,8 +110,10 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
                 num_shards=jax.process_count(),
                 shard_index=jax.process_index(), seed=seed, kind=loader_kind,
             )
-        except FileNotFoundError:
-            logger.add_line("no test split available; skipping test phases")
+        except (FileNotFoundError, ValueError) as e:
+            # missing split files OR a split too small for one batch —
+            # the test phase is optional either way
+            logger.add_line(f"no usable test split ({e}); skipping test phases")
     pp_cfg = builders.build_preprocess_config(db_cfg)
     logger.add_line(f"train dataset: {train_ds.name} n={train_ds.num_samples} "
                     f"batches/epoch={len(loader)}")
@@ -130,18 +136,41 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
     optimizer = build_from_config(cfg.optimizer, steps_per_epoch)
     epochs = int(cfg.optimizer["num_epochs"]) if not debug else 2
     pw = cfg.get("profile_steps")  # [start, stop) global-step trace window
-    profile_window = tuple(int(x) for x in pw)[:2] if pw else None
+    profile_window = None
+    if pw:
+        pw = [int(x) for x in pw]
+        if len(pw) != 2 or pw[1] <= pw[0]:
+            raise ValueError(
+                f"profile_steps must be [start, stop) with stop > start; "
+                f"got {pw}"
+            )
+        profile_window = tuple(pw)
+    profiling_active = False
     milestones = set(cfg.optimizer["lr"].get("milestones", []))
 
     # --- state init / restore ---------------------------------------------
-    sample = next(iter(loader))
+    # shape probe: model.init only needs array shapes — decode ONE item
+    # and tile it rather than paying a full batch of video decode (and a
+    # worker-pool spin-up) before training starts
+    item = train_ds[0]
+    bs_local = max(
+        int(db_cfg["batch_size"]) // max(jax.process_count(), 1), 1
+    )
+    sample = {
+        k: np.repeat(np.asarray(v)[None], bs_local, axis=0)
+        for k, v in item.items()
+    }
     sample = preprocess_batch(jax.random.key(0), sample, pp_cfg, train=True)
     state = init_train_state(jax.random.key(seed), model, sample, optimizer)
     logger.add_line(parameter_description(state.params))
+    ckpt = CheckpointManager(os.path.join(model_dir, "orbax"))
+    resuming = bool(cfg.get("resume")) and ckpt.latest_step() is not None
     # backbone warm-start from a reference/exported .pth.tar (the AVID-CMA
-    # configs point model.args.checkpoint at the AVID pretrain checkpoint)
+    # configs point model.args.checkpoint at the AVID pretrain checkpoint);
+    # skipped when resuming — the orbax restore overwrites it anyway
     model_ck = cfg.model.get("args", {}).get("checkpoint")
-    if model_ck and (os.path.isfile(model_ck) or os.path.isdir(model_ck)):
+    if (not resuming and model_ck
+            and (os.path.isfile(model_ck) or os.path.isdir(model_ck))):
         # .pth.tar (reference interop) or a model_dir/orbax directory
         # from a pretrain run done in this framework (torch-free chain)
         if os.path.isdir(model_ck):
@@ -153,8 +182,6 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
             batch_stats=variables.get("batch_stats", state.batch_stats),
         )
         logger.add_line(f"warm-started model from {model_ck}")
-    ckpt = CheckpointManager(os.path.join(model_dir, "orbax"))
-    resuming = bool(cfg.get("resume")) and ckpt.latest_step() is not None
     # bank layout: 'sharded' keeps bank rows (and the CMA positive set)
     # row-sharded over the mesh — required once banks outgrow one chip's
     # HBM (AudioSet-2M: 2x1.78Mx128; reference replicates per GPU,
@@ -195,7 +222,6 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
         bank_sharding=bank_sharding,
     )
     eval_step = None
-    optimizer_mesh = mesh
 
     # --- epoch loop --------------------------------------------------------
     start_epoch = int(state.epoch)
@@ -231,6 +257,23 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
         host_step = int(state.step)
         pending_losses = []
 
+        # mid-epoch resume: the restored step may sit inside this epoch —
+        # fast-forward past the already-trained batches (the deterministic
+        # sampler reproduces the same order for a given epoch) instead of
+        # double-training them and drifting the step count vs the LR
+        # schedule. Debug runs break epochs early, so the arithmetic only
+        # holds in production mode.
+        skip_batches = 0
+        if not debug and epoch == start_epoch:
+            skip_batches = min(
+                max(host_step - epoch * steps_per_epoch, 0), len(loader)
+            )
+            if skip_batches:
+                logger.add_line(
+                    f"mid-epoch resume: skipping {skip_batches} "
+                    f"already-trained batches of epoch {epoch}"
+                )
+
         def drain_losses():
             for arr, n in pending_losses:
                 meters["loss"].update(float(arr), n=n)
@@ -238,21 +281,29 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
 
         t0 = time.time()
         for it, batch in enumerate(loader):
+            if it < skip_batches:
+                t0 = time.time()
+                continue
             meters["data_t"].update(time.time() - t0)
             # profile_steps: [start, stop) global-step window captured as
             # an XLA trace into model_dir/profile (open with
             # TensorBoard's profile plugin; superset of the reference's
-            # wall-clock meters, SURVEY §5 'Tracing/profiling: none')
-            if profile_window and host_step == profile_window[0]:
+            # wall-clock meters, SURVEY §5 'Tracing/profiling: none').
+            # Range conditions, not equality: a resume may land inside
+            # the window (start late) or past it (never start).
+            if (profile_window and not profiling_active
+                    and profile_window[0] <= host_step < profile_window[1]):
                 profiling.start_trace(os.path.join(model_dir, "profile"))
+                profiling_active = True
                 logger.add_line(f"profiler: tracing steps {profile_window}")
             state, metrics = train_step(state, global_batch(batch, mesh),
                                         host_step)
             pending_losses.append((metrics["loss"], batch["index"].shape[0]))
             host_step += 1
-            if profile_window and host_step == profile_window[1]:
+            if profiling_active and host_step >= profile_window[1]:
                 jax.block_until_ready(metrics["loss"])
                 profiling.stop_trace()
+                profiling_active = False
                 logger.add_line(
                     f"profiler: trace written to {model_dir}/profile"
                 )
@@ -293,7 +344,7 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
                 # batches are global arrays, which eager host-side
                 # preprocessing cannot touch
                 eval_step = make_fused_eval_step(
-                    model, crit_cfg, optimizer_mesh, pp_cfg, seed,
+                    model, crit_cfg, mesh, pp_cfg, seed,
                     bank_sharding=bank_sharding,
                 )
             test_loader.set_epoch(epoch)
@@ -308,6 +359,12 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
                 logger.add_line(f"test[{epoch}] loss {test_loss:.4e}")
                 tb.add_scalar("test/loss", test_loss, int(state.step))
 
+    if profiling_active:  # stop step beyond the run's last step
+        profiling.stop_trace()
+        logger.add_line(
+            f"profiler: trace written to {model_dir}/profile "
+            "(run ended inside the window)"
+        )
     return state
 
 

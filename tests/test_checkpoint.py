@@ -304,6 +304,21 @@ def test_optimizer_roundtrip_through_pth_tar(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_manager_duplicate_step_tolerated(tmp_path):
+    """A save_freq_steps save can land exactly on an epoch boundary; the
+    epoch-end (possibly milestone) re-save of the same step must be a
+    no-op, not an orbax StepAlreadyExistsError (which force=True raises
+    unconditionally)."""
+    from avid_cma_tpu.train.checkpoint import CheckpointManager
+
+    m = CheckpointManager(str(tmp_path / "orbax"))
+    state = {"a": jnp.ones((2,))}
+    assert m.save(10, state)
+    assert m.save(10, state)                  # plain duplicate
+    assert m.save(10, state, milestone=True)  # milestone duplicate
+    assert m.latest_step() == 10
+
+
 def test_scripts_export_from_orbax_run(tmp_path):
     """`scripts/checkpoints.py export <run> <out.pth.tar>`: a framework
     orbax checkpoint (raw nested-dict restore, no typed optax states)

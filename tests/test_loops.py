@@ -217,6 +217,38 @@ def test_cma_warmstart_trims_sharded_bank_padding(tmp_path):
     assert int(np.max(np.asarray(cma_state.bank.positive_set))) < 28
 
 
+def test_mid_epoch_resume_skips_trained_batches(tmp_path):
+    """A mid-epoch checkpoint must resume INSIDE the epoch: the loop
+    fast-forwards past already-trained batches instead of re-training
+    them (which would drift the step count against the LR schedule)."""
+    import os
+    import shutil
+
+    from avid_cma_tpu.train.loop import run_pretraining
+
+    cfg = pretrain_cfg(tmp_path)
+    cfg["save_freq_steps"] = 1   # checkpoint after every step
+    cfg["no_test"] = True
+    cfg.dataset["batch_size"] = 8  # 16 items -> 2 batches/epoch
+    state = run_pretraining(cfg, debug=False)  # skip logic is prod-only
+    assert int(state.step) == 2
+
+    # simulate preemption after step 1: drop the epoch-end checkpoint
+    orbax_dir = str(tmp_path / "smoke" / "orbax")
+    assert os.path.isdir(os.path.join(orbax_dir, "2"))
+    shutil.rmtree(os.path.join(orbax_dir, "2"))
+
+    cfg2 = pretrain_cfg(tmp_path)
+    cfg2["save_freq_steps"] = 1
+    cfg2["no_test"] = True
+    cfg2.dataset["batch_size"] = 8
+    cfg2["resume"] = True
+    state2 = run_pretraining(cfg2, debug=False)
+    assert int(state2.step) == 2  # finished the epoch, no double-training
+    log = open(str(tmp_path / "smoke" / "train.log")).read()
+    assert "skipping 1 already-trained batches" in log
+
+
 def test_import_model_orbax_roundtrip(tmp_path):
     """import_model_orbax returns the params/batch_stats a framework
     pretrain run saved (the model half of the torch-free chain)."""
