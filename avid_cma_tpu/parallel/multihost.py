@@ -48,9 +48,12 @@ def global_batch(
 
     def one(x):
         x = np.asarray(x)
-        spec = P(axis, *([None] * (x.ndim - 1)))
+        # scalars can't be row-sharded — replicate (local value must be
+        # process-identical, which scalar batch fields are by contract)
+        spec = P(axis, *([None] * (x.ndim - 1))) if x.ndim else P()
+        kw = {} if x.ndim else {"global_shape": x.shape}
         return jax.make_array_from_process_local_data(
-            NamedSharding(mesh, spec), x
+            NamedSharding(mesh, spec), x, **kw
         )
 
     return {k: one(v) for k, v in batch.items()}
@@ -110,9 +113,17 @@ def process_local_slice(arr: jax.Array) -> np.ndarray:
     """Host copy of this process's rows of a data-sharded global array
     (inverse of `global_batch` for one output). Fully-replicated arrays
     return the whole value."""
-    if not is_multiprocess() or arr.is_fully_addressable:
+    if (not is_multiprocess() or arr.is_fully_addressable
+            or arr.is_fully_replicated):
         return np.asarray(arr)
-    shards = sorted(arr.addressable_shards, key=lambda s: s.index)
+    # dedupe by shard offset: partially-replicated layouts repeat the
+    # same rows on several local devices, and concatenating every
+    # addressable shard would duplicate them
+    by_offset = {}
+    for s in arr.addressable_shards:
+        off = tuple(sl.start or 0 for sl in s.index)
+        by_offset.setdefault(off, s)
+    shards = [by_offset[off] for off in sorted(by_offset)]
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
@@ -123,9 +134,15 @@ def sync_float(value: float, reduce: str = "mean") -> float:
         return float(value)
     from jax.experimental import multihost_utils
 
-    vals = multihost_utils.process_allgather(
-        np.asarray([value], np.float64)
-    ).reshape(-1)
+    # double-single transport: process_allgather canonicalizes f64 -> f32
+    # (x64 mode is off), so ship (hi, lo = value - hi) f32 pairs and
+    # reassemble in f64 on the host
+    v = float(value)
+    hi = np.float32(v)
+    lo = np.float32(v - float(hi))
+    pair = multihost_utils.process_allgather(np.asarray([hi, lo], np.float32))
+    pair = np.asarray(pair, np.float64).reshape(-1, 2)
+    vals = pair[:, 0] + pair[:, 1]
     if reduce == "mean":
         return float(vals.mean())
     if reduce == "sum":

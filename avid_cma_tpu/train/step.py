@@ -24,7 +24,11 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from avid_cma_tpu.criterions.avid import AVIDConfig, avid_forward, init_bank_state
-from avid_cma_tpu.criterions.avid_cma import AVIDCMAConfig, cma_forward
+from avid_cma_tpu.criterions.avid_cma import (
+    AVIDCMAConfig,
+    cma_forward,
+    cma_state_from_bank,
+)
 from avid_cma_tpu.parallel.mesh import DATA_AXIS
 from avid_cma_tpu.train.state import TrainState
 
@@ -56,6 +60,15 @@ def init_train_state(
         bank = init_bank_state(
             k_bank, criterion_cfg.num_data, criterion_cfg.embedding_dim
         )
+        if isinstance(criterion_cfg, AVIDCMAConfig):
+            # cma_forward reads state.positive_set; a plain BankState
+            # would crash at trace time. Zeroed set — callers mine it.
+            bank = cma_state_from_bank(
+                bank,
+                jnp.zeros(
+                    (criterion_cfg.num_data, criterion_cfg.pos_k), jnp.int32
+                ),
+            )
     params = variables["params"]
     return TrainState(
         step=jnp.int32(0),
@@ -66,6 +79,16 @@ def init_train_state(
         bank=bank,
         rng=k_rng,
     )
+
+
+def _bank_sharded(bank_sharding: str) -> bool:
+    """Validate the config string — a typo silently running replicated
+    banks would surface as an HBM OOM at AudioSet scale, not an error."""
+    if bank_sharding not in ("replicated", "sharded"):
+        raise ValueError(
+            f"unknown bank_sharding {bank_sharding!r} (replicated|sharded)"
+        )
+    return bank_sharding == "sharded"
 
 
 def bank_state_specs(state: TrainState, axis: str, bank_sharded: bool):
@@ -98,7 +121,7 @@ def make_train_step(
     bank rows must be pre-padded to a multiple of the mesh size
     (parallel/sharding.shard_bank)."""
     criterion = criterion_fn(criterion_cfg)
-    bank_sharded = bank_sharding == "sharded"
+    bank_sharded = _bank_sharded(bank_sharding)
 
     def local_step(state: TrainState, video, audio, y):
         # per-replica negative draws, like per-process torch RNG
@@ -198,7 +221,7 @@ def make_eval_loss_step(
     in test phases (criterions/avid.py:78) — evaluating on val data would
     corrupt the train banks, so we drop the update here."""
     criterion = criterion_fn(criterion_cfg)
-    bank_sharded = bank_sharding == "sharded"
+    bank_sharded = _bank_sharded(bank_sharding)
 
     def local(state: TrainState, video, audio, y, batch_idx):
         # fold a per-batch counter: state never changes during a test
