@@ -18,9 +18,7 @@ from __future__ import annotations
 import csv
 import glob
 import os
-from typing import Optional, Sequence
-
-import numpy as np
+from typing import Optional
 
 from avid_cma_tpu.data.decode import DecodeBackend, SyntheticBackend, make_backend
 from avid_cma_tpu.data.video_db import VideoDataset
@@ -84,7 +82,8 @@ class Kinetics(VideoDataset):
                 if os.path.isdir(os.path.join(base, d))
             )
             fns = sorted(glob.glob(f"{base}/*/*.mp4"))
-            labels = [classes.index(fn.split("/")[-2]) for fn in fns]
+            class_idx = {c: i for i, c in enumerate(classes)}
+            labels = [class_idx[fn.split("/")[-2]] for fn in fns]
             self.classes = classes
         else:
             if not isinstance(be, SyntheticBackend):
@@ -111,8 +110,6 @@ class AudioSetClasses:
     (reference: datasets/audioset.py:17-31)."""
 
     def __init__(self, cache_path: Optional[str] = None):
-        import csv
-
         path = os.path.join(cache_path or AUDIOSET_CACHE,
                             "class_labels_indices.csv")
         with open(path) as f:
@@ -222,7 +219,8 @@ class UCF(_SplitFileDataset):
                 self.classes = [ln.strip().split()[1] for ln in f if ln.strip()]
             with open(os.path.join(anno_path, f"{subset}.txt")) as f:
                 fns = [ln.strip().split()[0] for ln in f if ln.strip()]
-            labels = [self.classes.index(fn.split("/")[0]) for fn in fns]
+            class_idx = {c: i for i, c in enumerate(self.classes)}
+            labels = [class_idx[fn.split("/")[0]] for fn in fns]
             fns = [os.path.join(root, fn) for fn in fns] if root else fns
             return fns, labels
         if not isinstance(be, SyntheticBackend):

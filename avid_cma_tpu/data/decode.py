@@ -64,7 +64,14 @@ class VideoMeta:
 
 
 class DecodeBackend:
-    """Interface: open/metadata + ranged frame/audio decode."""
+    """Interface: open/metadata + ranged frame/audio decode.
+
+    `frame_hw` is the fixed (H, W) every decoded frame has, or None when
+    output size varies per file (native-resolution decode). Fixed-shape
+    consumers (jitted preprocessing, dense-eval batch assembly) rely on it
+    for failure-path fallbacks."""
+
+    frame_hw: Optional[Tuple[int, int]] = None
 
     def get_meta(self, path: str) -> VideoMeta:
         raise NotImplementedError
@@ -98,6 +105,7 @@ class SyntheticBackend(DecodeBackend):
         width: int = 320,
     ):
         self.meta = VideoMeta(duration, video_fps, audio_fps, width, height)
+        self.frame_hw = (height, width)
 
     def _seed(self, path: str) -> int:
         return int.from_bytes(
@@ -146,8 +154,16 @@ class PyAVBackend(DecodeBackend):
         with self._av.open(path) as c:
             v = c.streams.video[0]
             a = c.streams.audio[0] if c.streams.audio else None
+            if v.duration:
+                duration = float(v.duration * v.time_base)
+            elif c.duration:  # stream lacks a duration field (common in
+                # mkv): fall back to the container clock, else every clip
+                # would silently sample from t=0
+                duration = float(c.duration / self._av.time_base)
+            else:
+                duration = 0.0
             return VideoMeta(
-                duration=float(v.duration * v.time_base) if v.duration else 0.0,
+                duration=duration,
                 video_fps=float(v.average_rate),
                 audio_fps=int(a.rate) if a else 0,
                 width=v.width,
@@ -202,6 +218,15 @@ class PyAVBackend(DecodeBackend):
                     total += arr.size
                 if total >= skip + n_target + sample_rate // 10:
                     break
+            else:
+                # stream ended before the requested window: flush samples
+                # still buffered inside the resampler, or the clip tail is
+                # silently zero-padded over real audio
+                try:
+                    for o in resampler.resample(None) or []:
+                        chunks.append(o.to_ndarray().reshape(-1))
+                except Exception:
+                    pass  # older PyAV has no flush support
         sig = (
             np.concatenate(chunks) if chunks else np.zeros(n_target, np.int16)
         ).astype(np.float32) / 32768.0
@@ -262,7 +287,13 @@ class FFmpegCLIBackend(DecodeBackend):
         meta = self.get_meta(path)
         n = int(np.ceil(duration * fps))
         cmd = [
-            "ffmpeg", "-v", "error", "-ss", str(start), "-t", str(duration),
+            # -noautorotate: the reshape below uses ffprobe's coded w/h;
+            # ffmpeg's default displaymatrix rotation would emit swapped
+            # dims for portrait videos and silently garble every frame
+            # (PyAV's to_ndarray doesn't rotate either, matching the
+            # reference's av_wrappers.py behavior)
+            "ffmpeg", "-v", "error", "-noautorotate",
+            "-ss", str(start), "-t", str(duration),
             "-i", path, "-vf", f"fps={fps}", "-pix_fmt", "rgb24",
             "-f", "rawvideo", "-",
         ]

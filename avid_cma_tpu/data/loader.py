@@ -35,6 +35,11 @@ class ShardedBatchSampler:
         shard_index: int = 0,
         seed: int = 0,
     ):
+        if batch_size < 1:
+            raise ValueError(
+                f"per-shard batch_size must be >= 1, got {batch_size} "
+                f"(global batch too small for num_shards={num_shards}?)"
+            )
         self.dataset_len = dataset_len
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -52,11 +57,16 @@ class ShardedBatchSampler:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
-        # pad so every shard sees the same count (DistributedSampler)
+        # pad so every shard sees the same count (DistributedSampler
+        # semantics: repeat the sequence as many times as needed — with
+        # num_shards > dataset_len, pad exceeds len(idx) and a plain
+        # idx[:pad] would leave shards unequal, desynchronizing multihost
+        # step counts)
         per_shard = -(-self.dataset_len // self.num_shards)
         pad = per_shard * self.num_shards - self.dataset_len
         if pad:
-            idx = np.concatenate([idx, idx[:pad]])
+            reps = -(-pad // max(len(idx), 1))
+            idx = np.concatenate([idx] + [idx] * reps)[: per_shard * self.num_shards]
         idx = idx[self.shard_index :: self.num_shards]
         n_batches = (
             len(idx) // self.batch_size

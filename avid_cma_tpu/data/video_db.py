@@ -49,8 +49,14 @@ class VideoDataset:
         assert mode in ("clip", "video")
         self.backend = backend
         # np bytes array instead of a python list of str: avoids DataLoader
-        # copy-on-write bloat (reference: datasets/video_db.py:16-20)
-        self.video_fns = np.asarray(video_fns, dtype=np.bytes_)
+        # copy-on-write bloat (reference: datasets/video_db.py:16-20).
+        # Explicit utf-8 encode — numpy's str->bytes cast is ASCII-only and
+        # would crash on accented filenames; __getitem__ decodes as utf-8.
+        self.video_fns = np.asarray(
+            [f.encode("utf-8") if isinstance(f, str) else bytes(f)
+             for f in video_fns],
+            dtype=np.bytes_,
+        )
         self.labels = None if labels is None else np.asarray(labels)
         self.mode = mode
         self.return_video = return_video
@@ -178,10 +184,23 @@ class VideoDataset:
                 "scoring it as zeros"
             )
             self.decode_failures += 1
-            sample = {
-                "frames": np.zeros((1, 16, 16, 3), np.uint8),
-                "audio": np.zeros((1,), np.float32),
-            }
+            # zero frames must match healthy videos' post-transform shape,
+            # or the dense-eval batch stack dies on the very crash this
+            # fallback exists to avoid: use the backend's fixed frame size
+            # when it has one, and run the zeros through the same host
+            # transform healthy frames get
+            hw = getattr(self.backend, "frame_hw", None) or (16, 16)
+            n_frames = max(int(self.video_clip_duration * self.video_fps), 1)
+            frames = np.zeros((n_frames, hw[0], hw[1], 3), np.uint8)
+            if self.host_video_transform is not None:
+                frames = self.host_video_transform(frames)
+            wav = np.zeros(
+                (max(int(self.audio_clip_duration * self.audio_fps), 1),),
+                np.float32,
+            )
+            if self.return_audio and self.host_audio_transform is not None:
+                wav = self.host_audio_transform(wav, self.audio_fps)
+            sample = {"frames": frames, "audio": wav}
         chunks: Dict[str, np.ndarray] = {}
         if self.return_video:
             frames = sample["frames"]

@@ -288,7 +288,47 @@ def test_dense_mode_survives_decode_failure():
     assert ds.decode_failures == 1
     assert bad["frames"].shape[0] == 4 and bad["label"] == 7
     assert np.all(bad["frames"] == 0)
-    assert good["frames"].shape[:2] == bad["frames"].shape[:2]  # (clips, T)
+    # FULL shape equality, H/W included: dense eval batches rows from
+    # failed and healthy videos together (np.stack), so a fallback at the
+    # wrong resolution would crash the eval this fallback exists to save
+    assert good["frames"].shape == bad["frames"].shape
+
+
+def test_sampler_pad_exceeding_dataset_len():
+    """num_shards > dataset_len: every shard must still see the same
+    index count (a short pad would desynchronize multihost step counts)."""
+    from avid_cma_tpu.data.loader import ShardedBatchSampler
+
+    counts = []
+    for shard in range(8):
+        s = ShardedBatchSampler(
+            dataset_len=2, batch_size=1, shuffle=False, drop_last=False,
+            num_shards=8, shard_index=shard,
+        )
+        batches = list(s)
+        assert len(batches) == len(s)
+        counts.append(sum(len(b) for b in batches))
+    assert counts == [1] * 8
+
+
+def test_sampler_rejects_zero_batch():
+    from avid_cma_tpu.data.loader import ShardedBatchSampler
+
+    with pytest.raises(ValueError, match="batch_size"):
+        ShardedBatchSampler(dataset_len=10, batch_size=0)
+
+
+def test_non_ascii_filenames():
+    from avid_cma_tpu.data.decode import SyntheticBackend
+    from avid_cma_tpu.data.video_db import VideoDataset
+
+    ds = VideoDataset(
+        backend=SyntheticBackend(duration=2.0, height=16, width=16),
+        video_fns=["café_0.mp4", "日本語_1.mp4"], mode="clip",
+        video_clip_duration=0.25, video_fps=8.0, return_audio=False,
+    )
+    out = ds[1]
+    assert out["frames"].shape == (2, 16, 16, 3)
 
 
 def test_dense_chunk_pads_short_videos():
