@@ -71,6 +71,13 @@ class AVIDConfig:
         s = self.xModal_coeff + self.wModal_coeff
         return self.xModal_coeff / s, self.wModal_coeff / s
 
+    @classmethod
+    def from_config(cls, args: dict, embedding_dim: int = 128) -> "AVIDConfig":
+        """YAML loss.args -> config (registry entry point used by
+        train/builders.build_criterion_config; reference schema:
+        configs/main/avid/*/*.yaml loss.args)."""
+        return cls(embedding_dim=embedding_dim, **args)
+
 
 def init_bank_state(
     key: jax.Array, num_data: int, embedding_dim: int, dtype=jnp.float32

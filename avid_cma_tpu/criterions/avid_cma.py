@@ -61,6 +61,21 @@ class AVIDCMAConfig:
         else:
             object.__setattr__(self, "momentum", tuple(self.momentum))
 
+    @classmethod
+    def from_config(cls, args: dict, embedding_dim: int = 128) -> "AVIDCMAConfig":
+        """YAML loss.args -> config (registry entry point; reference
+        schema nests the mining knobs under loss.args.sampling_args,
+        configs/main/avid-cma/*/*.yaml)."""
+        args = dict(args)
+        sampling = args.pop("sampling_args", {}) or {}
+        return cls(
+            embedding_dim=embedding_dim,
+            pos_k=sampling.get("pos_k", 32),
+            sampling_type=sampling.get("type", "consensus"),
+            mining_exact=bool(sampling.get("exact", True)),
+            **args,
+        )
+
     @property
     def coeffs(self) -> Tuple[float, float, float, float]:
         s = (

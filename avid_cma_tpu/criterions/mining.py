@@ -22,7 +22,7 @@ footprint for matmul size.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -108,13 +108,59 @@ def _sweep_tiles(
     return out.reshape(n_tiles * tile, pos_k)[:num_q]
 
 
-@partial(jax.jit,
-         static_argnames=("pos_k", "kind", "tile", "exact", "axis_name"))
-def _mine_local(bank_v, bank_a, pos_k, kind, tile, exact=True, axis_name=None):
+@partial(jax.jit, static_argnames=("pos_k", "kind", "tile", "exact"))
+def _mine_local(bank_v, bank_a, pos_k, kind, tile, exact=True):
     n = bank_v.shape[0]
     q_index = jnp.arange(n, dtype=jnp.int32)
     return _sweep_tiles(bank_v, bank_a, bank_v, bank_a, q_index, pos_k, kind,
                         tile, exact)
+
+
+# jitted-callable caches: re-mining happens every resample_freq epochs
+# (train/loop.py), and jit keyed on a per-call closure would re-lower and
+# re-compile the O(N^2 D) sweep program on every resample
+@lru_cache(maxsize=8)
+def _mine_mesh_fn(mesh, axis, n, pad, pos_k, kind, tile, exact):
+    sweep = partial(_sweep_tiles, pos_k=pos_k, kind=kind, tile=tile,
+                    exact=exact)
+
+    def body(bv, ba):
+        q_index = jnp.pad(
+            jnp.arange(n, dtype=jnp.int32), (0, pad), constant_values=-1
+        )
+        q_v = jnp.pad(bv, ((0, pad), (0, 0)))
+        q_a = jnp.pad(ba, ((0, pad), (0, 0)))
+        mined = jax.shard_map(
+            lambda bv2, ba2, qv, qa, qi: sweep(bv2, ba2, qv, qa, qi[0]),
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(None, axis)),
+            out_specs=P(axis),
+        )(bv, ba, q_v, q_a, q_index[None])
+        return mined[:n]
+
+    return jax.jit(body, out_shardings=NamedSharding(mesh, P()))
+
+
+@lru_cache(maxsize=8)
+def _mine_sharded_fn(mesh, axis, n, n_local, pos_k, kind, tile, exact):
+    sweep = partial(_sweep_tiles, pos_k=pos_k, kind=kind, tile=tile,
+                    exact=exact, n_valid=n)
+
+    def local(bv_loc, ba_loc):
+        bv = jax.lax.all_gather(bv_loc, axis, tiled=True)  # (Npad, D)
+        ba = jax.lax.all_gather(ba_loc, axis, tiled=True)
+        offset = jax.lax.axis_index(axis) * n_local
+        qi = offset + jnp.arange(n_local, dtype=jnp.int32)
+        qi = jnp.where(qi < n, qi, -1)  # padded queries: discard rows
+        return sweep(bv, ba, bv_loc, ba_loc, qi)
+
+    return jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None)),
+            out_specs=P(axis, None),
+        )
+    )
 
 
 def mine_positives(
@@ -143,26 +189,8 @@ def mine_positives(
     n, _ = bank_v.shape
     n_dev = mesh.shape[axis]
     pad = (-n) % n_dev
-    sweep = partial(_sweep_tiles, pos_k=pos_k, kind=kind, tile=tile,
-                    exact=exact)
-
-    def body(bv, ba):
-        q_index = jnp.pad(
-            jnp.arange(n, dtype=jnp.int32), (0, pad), constant_values=-1
-        )
-        q_v = jnp.pad(bv, ((0, pad), (0, 0)))
-        q_a = jnp.pad(ba, ((0, pad), (0, 0)))
-        mined = jax.shard_map(
-            lambda bv2, ba2, qv, qa, qi: sweep(bv2, ba2, qv, qa, qi[0]),
-            mesh=mesh,
-            in_specs=(P(), P(), P(axis), P(axis), P(None, axis)),
-            out_specs=P(axis),
-        )(bv, ba, q_v, q_a, q_index[None])
-        return mined[:n]
-
-    return jax.jit(
-        body, out_shardings=NamedSharding(mesh, P())
-    )(bank_v, bank_a)
+    fn = _mine_mesh_fn(mesh, axis, n, pad, pos_k, kind, tile, exact)
+    return fn(bank_v, bank_a)
 
 
 def mine_positives_sharded(
@@ -192,21 +220,5 @@ def mine_positives_sharded(
     npad = bank_v.shape[0]
     n_dev = mesh.shape[axis]
     n_local = npad // n_dev
-    sweep = partial(_sweep_tiles, pos_k=pos_k, kind=kind, tile=tile,
-                    exact=exact, n_valid=n)
-
-    def local(bv_loc, ba_loc):
-        bv = jax.lax.all_gather(bv_loc, axis, tiled=True)  # (Npad, D)
-        ba = jax.lax.all_gather(ba_loc, axis, tiled=True)
-        offset = jax.lax.axis_index(axis) * n_local
-        qi = offset + jnp.arange(n_local, dtype=jnp.int32)
-        qi = jnp.where(qi < n, qi, -1)  # padded queries: discard rows
-        return sweep(bv, ba, bv_loc, ba_loc, qi)
-
-    return jax.jit(
-        jax.shard_map(
-            local, mesh=mesh,
-            in_specs=(P(axis, None), P(axis, None)),
-            out_specs=P(axis, None),
-        )
-    )(bank_v, bank_a)
+    fn = _mine_sharded_fn(mesh, axis, n, n_local, pos_k, kind, tile, exact)
+    return fn(bank_v, bank_a)

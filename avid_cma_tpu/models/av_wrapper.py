@@ -56,9 +56,20 @@ class AVWrapper(nn.Module):
             )
             self.video_proj = Head(dims, dtype=self.dtype)
             self.audio_proj = Head(dims, dtype=self.dtype)
-            self.out_dim = dims[-1]
-        else:
-            self.out_dim = self.video_model.out_dim
+
+    @property
+    def out_dim(self) -> int:
+        """Embedding width (reference: model.module.out_dim injected into
+        the loss args, main-avid.py:100). A property, not a setup
+        attribute, so it works on unbound host-side instances too."""
+        if self.proj_dim is None:
+            return self.video_model.out_dim
+        dims = (
+            list(self.proj_dim)
+            if isinstance(self.proj_dim, (list, tuple))
+            else [self.proj_dim]
+        )
+        return dims[-1]
 
     def __call__(
         self,

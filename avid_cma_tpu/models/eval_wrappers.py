@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from avid_cma_tpu.criterions.avid import l2_normalize
 from avid_cma_tpu.models.blocks import batch_norm
 from avid_cma_tpu.ops.pooling import apply_pooling_op
 
@@ -60,7 +61,7 @@ class Classifier(nn.Module):
         if self.use_dropout:
             x = nn.Dropout(0.5, deterministic=not train)(x)
         if self.l2_norm:
-            x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+            x = l2_normalize(x)
         if x.ndim > 2:
             x = apply_pooling_op(x, self.pooling)
         x = x.reshape(x.shape[0], -1)

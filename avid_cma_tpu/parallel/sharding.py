@@ -145,11 +145,16 @@ def _scores_sharded_fwd(bank_local, idx, query, axis):
     rows = _masked_local_rows(bank_local, idx_g, axis)  # (n_dev, bs, K, D)
     s = jax.lax.psum(jnp.einsum("nbkd,nbd->nbk", rows, q_g), axis)
     s_own = s[jax.lax.axis_index(axis)]
-    return s_own, (bank_local, idx)
+    # query[:0]: zero-size carrier of the primal query dtype — the
+    # backward's cotangent must come back in the PRIMAL's dtype (a bf16
+    # model with an f32 bank would otherwise get an f32 dq that silently
+    # promotes the whole backbone backward; same invariant as
+    # ops/pallas/nce_gather.py's VJP)
+    return s_own, (bank_local, idx, query[:0])
 
 
 def _scores_sharded_bwd(axis, res, ds):
-    bank_local, idx = res
+    bank_local, idx, q_proto = res
     # dq[b, :] = sum_k ds[b, k] * bank[idx[b, k]], assembled shard-wise:
     # every shard weights the rows it owns by the (all_gathered) upstream
     # cotangent, one (n_dev, bs, D) psum combines, each replica keeps its
@@ -158,7 +163,7 @@ def _scores_sharded_bwd(axis, res, ds):
     ds_g = jax.lax.all_gather(ds, axis)  # (n_dev, bs, K)
     rows = _masked_local_rows(bank_local, idx_g, axis)  # (n_dev, bs, K, D)
     dq = jax.lax.psum(jnp.einsum("nbkd,nbk->nbd", rows, ds_g), axis)
-    dq_own = dq[jax.lax.axis_index(axis)].astype(bank_local.dtype)
+    dq_own = dq[jax.lax.axis_index(axis)].astype(q_proto.dtype)
     return jnp.zeros_like(bank_local), None, dq_own
 
 

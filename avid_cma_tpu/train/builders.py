@@ -13,9 +13,9 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 
 from avid_cma_tpu.config import Config
-from avid_cma_tpu.criterions import AVIDCMAConfig, AVIDConfig
+import avid_cma_tpu.criterions  # noqa: F401  (populates CRITERIONS)
 from avid_cma_tpu.data import DataLoader, PreprocessConfig
-from avid_cma_tpu.registry import DATASETS, MODELS
+from avid_cma_tpu.registry import CRITERIONS, DATASETS, MODELS
 
 
 def build_model(model_cfg: Config, dtype=None):
@@ -40,25 +40,16 @@ def model_out_dim(model_cfg: Config) -> int:
 
 def build_criterion_config(loss_cfg: Config, embedding_dim: int = 128):
     """reference: utils/main_utils.py:231-237 + main-avid.py:100-101
-    (embedding_dim injected from model.out_dim). Returns the criterion
-    dataclass; the `checkpoint` arg (bank restore) is handled by the
-    caller."""
+    (embedding_dim injected from model.out_dim). Resolves the criterion
+    class through the CRITERIONS registry (the same extension surface the
+    reference's `criterions.__dict__[name]` lookup provides) and builds
+    it via its `from_config` classmethod; the `checkpoint` arg (bank
+    restore) is handled by the caller."""
     name = loss_cfg["name"]
     args = dict(loss_cfg.get("args", {}))
     args.pop("checkpoint", None)
     args.pop("device", None)
-    if name == "AVID":
-        return AVIDConfig(embedding_dim=embedding_dim, **args)
-    if name == "AVID_CMA":
-        sampling = args.pop("sampling_args", {}) or {}
-        return AVIDCMAConfig(
-            embedding_dim=embedding_dim,
-            pos_k=sampling.get("pos_k", 32),
-            sampling_type=sampling.get("type", "consensus"),
-            mining_exact=bool(sampling.get("exact", True)),
-            **args,
-        )
-    raise ValueError(f"unknown criterion '{name}'")
+    return CRITERIONS.get(name).from_config(args, embedding_dim=embedding_dim)
 
 
 def build_preprocess_config(db_cfg: Config) -> PreprocessConfig:

@@ -106,3 +106,34 @@ def test_cli_entry_parses_and_overrides(tmp_path):
     )
     assert r.returncode == 0
     assert "--set" in r.stdout
+
+
+def test_criterion_registry_extension_point():
+    """A criterion registered through CRITERIONS is reachable from
+    build_criterion_config (the reference's criterions.__dict__[name]
+    extension surface, utils/main_utils.py:231-237)."""
+    import dataclasses
+
+    from avid_cma_tpu.config import Config
+    from avid_cma_tpu.registry import CRITERIONS
+    from avid_cma_tpu.train.builders import build_criterion_config
+
+    @dataclasses.dataclass
+    class CustomConfig:
+        num_data: int
+        embedding_dim: int = 128
+
+        @classmethod
+        def from_config(cls, args, embedding_dim=128):
+            return cls(embedding_dim=embedding_dim, **args)
+
+    CRITERIONS.register("_TestCustom")(CustomConfig)
+    try:
+        out = build_criterion_config(
+            Config({"name": "_TestCustom", "args": {"num_data": 7}}),
+            embedding_dim=64,
+        )
+        assert isinstance(out, CustomConfig)
+        assert out.num_data == 7 and out.embedding_dim == 64
+    finally:
+        CRITERIONS._entries.pop("_TestCustom", None)

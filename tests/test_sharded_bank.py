@@ -96,6 +96,32 @@ def test_scores_sharded_values_and_grads(mesh, rng):
     np.testing.assert_allclose(np.asarray(grads), want_g, rtol=1e-5, atol=1e-5)
 
 
+def test_scores_sharded_bwd_keeps_query_dtype(mesh, rng):
+    """bf16 queries against an f32 bank must get a bf16 cotangent back —
+    an f32 dq would silently promote the whole model backward to f32
+    (same invariant as ops/pallas/nce_gather's VJP)."""
+    n_dev = mesh.size
+    N, D, K = 4 * n_dev, 8, 3
+    bs = n_dev
+    bank = rng.normal(size=(N, D)).astype(np.float32)
+    q = jnp.asarray(rng.normal(size=(bs, D)), jnp.bfloat16)
+    idx = jnp.asarray(rng.integers(0, N, size=(bs, K)), jnp.int32)
+
+    def local(bk, qq, ii):
+        g = jax.grad(lambda x: scores_sharded(bk, ii, x, "data")
+                     .astype(jnp.float32).sum())(qq)
+        return jax.lax.all_gather(g, "data", tiled=True)
+
+    g = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("data", None), P("data"), P("data")),
+            out_specs=P(), check_vma=False,
+        )
+    )(shard_bank(jnp.asarray(bank), mesh), q, idx)
+    assert g.dtype == jnp.bfloat16
+
+
 def test_ema_update_rows_sharded_matches_local(mesh, rng):
     n_dev = mesh.size
     N, D = 4 * n_dev, 8
