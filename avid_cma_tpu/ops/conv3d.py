@@ -209,12 +209,23 @@ class Conv3D(nn.Module):
         w = kernel.astype(dtype)
         pad = self.padding or [(0, 0)] * 3
 
+        # each alternate formulation guards the geometry it actually
+        # handles and falls back to XLA's direct form otherwise — the
+        # FORMS switch may only change speed, never the math
         if kt == 1 and kh == 1 and kw == 1:
-            if FORMS["proj"] == "matmul":
+            if FORMS["proj"] == "matmul" and all(
+                tuple(p) == (0, 0) for p in pad
+            ):  # conv3d_1x1 is a strided slice + matmul; it has no
+                # padding path
                 return conv3d_1x1(x, w, self.strides)
             return _conv3d_direct(x, w, self.strides, pad)
         if kt == 1:
-            if FORMS["spatial"] == "fold2d":
+            if (
+                FORMS["spatial"] == "fold2d"
+                and self.strides[0] == 1
+                and tuple(pad[0]) == (0, 0)
+            ):  # fold2d folds T into batch: temporal stride/padding
+                # would silently vanish
                 return conv3d_spatial(x, w, self.strides, pad)
             return _conv3d_direct(x, w, self.strides, pad)
         if kh == 1 and kw == 1:
@@ -223,7 +234,13 @@ class Conv3D(nn.Module):
         # fall back to XLA's direct form otherwise.
         if FORMS["stem"] == "s2d" and _s2d_applicable(x, w, self.strides, pad):
             return conv3d_s2d(x, w, self.strides, pad)
-        if FORMS["stem"] == "tstack" and self.strides[0] == 1:
+        if (
+            FORMS["stem"] == "tstack"
+            and self.strides[0] == 1
+            and pad[0][0] + pad[0][1] == kt - 1
+        ):  # tstack shifts T taps in place: it assumes SAME-style
+            # temporal padding (over/under-padding would drop or corrupt
+            # output frames)
             return conv3d_tstack(x, w, self.strides, pad)
         return _conv3d_direct(x, w, self.strides, pad)
 

@@ -56,7 +56,7 @@ def _spectrogram_kernel(
     std_ref,     # (1, Fout) VMEM
     out_ref,     # (1, T, Fout) VMEM
     *,
-    top_db: float,
+    top_db: Optional[float],
     normalize: bool,
 ):
     # HIGHEST precision: the log10 amplifies bf16 rounding of small
@@ -71,8 +71,9 @@ def _spectrogram_kernel(
                      precision=hp)
 
     db = 10.0 * jnp.log10(jnp.maximum(folded, 1e-10))
-    mx = jnp.max(db)
-    db = jnp.maximum(db, mx - top_db)
+    if top_db is not None:  # None: unclamped (ops/stft.py power_to_db)
+        mx = jnp.max(db)
+        db = jnp.maximum(db, mx - top_db)
 
     if normalize:
         db = (db - mean_ref[0][None, :]) / (std_ref[0][None, :] + 1e-5)
@@ -91,7 +92,7 @@ def log_spectrogram_pallas(
     hop_size: float = 0.005,
     duration: Optional[float] = None,
     normalize: bool = True,
-    top_db: float = 100.0,
+    top_db: Optional[float] = 100.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in for ops.stft.log_spectrogram: (B, L) -> (B, T, F, 1)."""
@@ -99,7 +100,9 @@ def log_spectrogram_pallas(
     hop = int(hop_size * sample_rate)
     frames = frame_signal(sig, frame_len, hop).astype(jnp.float32)
     if duration is not None:
-        frames = frames[:, : int(duration / hop_size)]
+        # int(duration * (1/hop)), matching ops/stft.py (reference
+        # truncation order, preprocessing.py:163,183)
+        frames = frames[:, : int(duration * (1.0 / hop_size))]
     b, t, _ = frames.shape
     f_out = n_fft // 2 + 1
 

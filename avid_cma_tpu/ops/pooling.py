@@ -15,6 +15,7 @@ from __future__ import annotations
 import re
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -34,8 +35,9 @@ def adaptive_max_pool(
             continue
         pieces = [
             jnp.max(
-                jnp.take(x, jnp.arange(s, e), axis=axis), axis=axis, keepdims=True
-            )
+                jax.lax.slice_in_dim(x, s, e, axis=axis),
+                axis=axis, keepdims=True,
+            )  # static contiguous slice, not an iota gather
             for s, e in _bounds(n, o)
         ]
         x = jnp.concatenate(pieces, axis=axis)

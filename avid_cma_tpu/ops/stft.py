@@ -127,7 +127,11 @@ def log_spectrogram(
     power = jnp.concatenate([dc, rest], axis=-1)  # (B, T, F)
 
     if duration is not None:
-        num_frames = int(duration / hop_size)
+        # int(duration * (1/hop)) — NOT int(duration / hop): the reference
+        # computes spectrogram_fps = 1/hop first (preprocessing.py:163,183)
+        # and the two truncate differently for ~1% of durations (e.g.
+        # 0.47/0.005: direct division truncates to 93, reference gets 94)
+        num_frames = int(duration * (1.0 / hop_size))
         power = power[:, :num_frames]
 
     db = power_to_db(power, top_db=top_db)

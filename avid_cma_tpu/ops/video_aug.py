@@ -171,10 +171,13 @@ def color_jitter_clip(
         f = jax.random.uniform(
             kc, minval=max(0.0, 1 - contrast), maxval=1 + contrast
         ).astype(clip.dtype)
-        # PIL Contrast: blend with the mean luminance gray image
+        # PIL Contrast: blend each FRAME with its own mean-luminance gray
+        # (torchvision adjust_contrast is per-image; a whole-clip mean
+        # would shift every frame of a clip with changing brightness)
         lum = jnp.mean(
-            0.299 * clip[..., 0] + 0.587 * clip[..., 1] + 0.114 * clip[..., 2]
-        )
+            0.299 * clip[..., 0] + 0.587 * clip[..., 1] + 0.114 * clip[..., 2],
+            axis=(-2, -1), keepdims=True,
+        )[..., None]
         clip = jnp.clip((clip - lum) * f + lum, 0.0, 1.0)
     if saturation > 0:
         f = jax.random.uniform(

@@ -111,3 +111,45 @@ def test_temporal_and_1x1_exact():
         np.asarray(_conv3d_direct(x, w1, (1, 2, 2), [(0, 0)] * 3)),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_forms_fall_back_on_unsupported_geometry():
+    """The FORMS switch may change speed, never math: geometries an
+    alternate form can't express (temporal stride/padding on fold2d,
+    padding on the 1x1x1 matmul, non-SAME temporal padding on tstack)
+    must route to the direct conv."""
+    import avid_cma_tpu.ops.conv3d as c3
+    from avid_cma_tpu.ops.conv3d import Conv3D
+
+    rng = np.random.default_rng(11)
+    saved = dict(c3.FORMS)
+    try:
+        cases = [
+            # (forms update, x shape, kernel, strides, padding)
+            ({"spatial": "fold2d"}, (2, 8, 8, 8, 3), (1, 3, 3), (2, 1, 1),
+             [(0, 0), (1, 1), (1, 1)]),
+            ({"spatial": "fold2d"}, (2, 8, 8, 8, 3), (1, 3, 3), (1, 1, 1),
+             [(1, 1), (1, 1), (1, 1)]),
+            ({"proj": "matmul"}, (2, 4, 8, 8, 3), (1, 1, 1), (1, 1, 1),
+             [(0, 0), (1, 1), (1, 1)]),
+            ({"stem": "tstack"}, (2, 8, 8, 8, 3), (3, 3, 3), (1, 1, 1),
+             [(2, 2), (1, 1), (1, 1)]),
+        ]
+        for update, xs, k, strides, pad in cases:
+            x = _mk(rng, xs)
+            c3.FORMS.update(saved)
+            c3.FORMS.update(update)
+            m = Conv3D(features=6, kernel_size=k, strides=strides,
+                       padding=pad)
+            var = m.init(jax.random.key(0), x)
+            got = m.apply(var, x)
+            c3.FORMS.update(
+                {"spatial": "xla3d", "proj": "xla3d", "stem": "xla3d"}
+            )
+            ref = m.apply(var, x)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4,
+                err_msg=f"{update} {xs} {k} {strides} {pad}",
+            )
+    finally:
+        c3.FORMS.update(saved)

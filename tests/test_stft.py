@@ -74,3 +74,15 @@ def test_log_spectrogram_fold_and_normalize(rng):
 def test_norm_stats_unavailable_combo():
     with pytest.raises(ValueError):
         load_norm_stats(128, 16000)
+
+
+def test_frame_count_truncation_matches_reference():
+    """num_frames = int(duration * (1/hop)) — the reference computes
+    spectrogram_fps first (preprocessing.py:163,183); direct division
+    truncates differently for ~1% of durations (0.47/0.005 -> 93 vs 94)."""
+    assert int(0.47 / 0.005) == 93  # the bug this guards against
+    sig = jnp.asarray(np.random.default_rng(0).standard_normal(24000),
+                      jnp.float32)[None]
+    out = log_spectrogram(sig, 24000, 512, hop_size=0.005, duration=0.47,
+                          normalize=False)
+    assert out.shape[1] == 94
