@@ -48,7 +48,9 @@ class Config(dict):
             if part not in node or not isinstance(node[part], Mapping):
                 node[part] = Config()
             node = node[part]
-        node[parts[-1]] = value
+        # _wrap: a mapping-valued override ('{name: strong}') must become
+        # a Config like file-loaded mappings, or attribute access breaks
+        node[parts[-1]] = _wrap(value)
 
     def to_dict(self) -> dict:
         return {
@@ -89,7 +91,12 @@ def load(path: str, overrides: list[str] | None = None) -> Config:
     with open(path) as f:
         cfg = from_dict(yaml.safe_load(f))
     for ov in overrides or []:
-        key, _, raw = ov.partition("=")
+        key, eq, raw = ov.partition("=")
+        if not eq:
+            raise ValueError(
+                f"override {ov!r} has no '=': expected key.path=value "
+                "(a bare key would silently set None)"
+            )
         cfg.set_path(key.strip(), _coerce(raw))
     return cfg
 

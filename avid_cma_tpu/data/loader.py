@@ -265,8 +265,13 @@ class MultiprocessDataLoader:
         # interpreter shutdown, the os module's attributes may already be
         # torn down (None) when the finally block runs
         _kill, _waitpid = os.kill, os.waitpid
+        import uuid
+
         batches = list(self.sampler)
-        name = f"/avid_ring_{os.getpid()}_{id(self) & 0xFFFF}"
+        # uuid, not id(self): object ids are 16-byte aligned (~12 useful
+        # bits), and two live loaders in one process (train + in-training
+        # eval) colliding on a name would destroy each other's ring
+        name = f"/avid_ring_{os.getpid()}_{uuid.uuid4().hex[:16]}"
         ring = self._native.ShmRing(
             name, n_slots=self.n_slots, slot_bytes=self.slot_bytes
         )

@@ -59,6 +59,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ring_wait_window.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
                                          ctypes.c_uint64, ctypes.c_long]
         lib.ring_set_consumed.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.ring_unlink.restype = ctypes.c_int
+        lib.ring_unlink.argtypes = [ctypes.c_char_p]
         _lib = lib
         return _lib
 
@@ -80,11 +82,19 @@ class ShmRing:
         self.slot_bytes = slot_bytes
         if create:
             self._h = lib.ring_create(self.name, n_slots, slot_bytes)
+            if not self._h:
+                # a leftover segment with our name can only be stale (a
+                # crashed run with a recycled pid): ring_create itself
+                # never unlinks — clobbering a LIVE ring is the caller's
+                # explicit call to make, so make it here, once
+                lib.ring_unlink(self.name)
+                self._h = lib.ring_create(self.name, n_slots, slot_bytes)
         else:
             self._h = lib.ring_open(self.name)
         if not self._h:
             raise RuntimeError(f"ring_{'create' if create else 'open'} failed: {name}")
         self._owner = create
+        self._pop_buf = None  # lazily allocated, reused (single consumer)
 
     def push_bytes(self, data: bytes, timeout_ms: int = 10_000) -> None:
         rc = self._lib.ring_push(self._h, data, len(data), timeout_ms)
@@ -93,17 +103,26 @@ class ShmRing:
         if rc != 0:
             raise TimeoutError("ring_push timed out")
 
-    def pop_bytes(self, timeout_ms: int = 10_000) -> Optional[bytes]:
-        """None when the ring is closed and drained."""
-        buf = ctypes.create_string_buffer(self.slot_bytes)
-        n = self._lib.ring_pop(self._h, buf, self.slot_bytes, timeout_ms)
+    def _pop_view(self, timeout_ms: int) -> Optional[memoryview]:
+        """Pop into the reused per-instance buffer; returns a view valid
+        until the next pop (single-consumer). Avoids a fresh slot_bytes
+        malloc+memset per batch (256 MB at the loader's default slot_mb)."""
+        if self._pop_buf is None:
+            self._pop_buf = ctypes.create_string_buffer(self.slot_bytes)
+        n = self._lib.ring_pop(self._h, self._pop_buf, self.slot_bytes,
+                               timeout_ms)
         if n == -2:
             return None
         if n == -1:
             raise TimeoutError("ring_pop timed out")
         if n < 0:
             raise RuntimeError(f"ring_pop error {n}")
-        return buf.raw[:n]
+        return memoryview(self._pop_buf)[:n]
+
+    def pop_bytes(self, timeout_ms: int = 10_000) -> Optional[bytes]:
+        """None when the ring is closed and drained."""
+        view = self._pop_view(timeout_ms)
+        return None if view is None else bytes(view)
 
     # -- numpy batch framing ------------------------------------------------
 
@@ -111,8 +130,8 @@ class ShmRing:
         self.push_bytes(encode_batch(batch), timeout_ms)
 
     def pop_batch(self, timeout_ms: int = 10_000) -> Optional[Dict[str, np.ndarray]]:
-        raw = self.pop_bytes(timeout_ms)
-        return None if raw is None else decode_batch(raw)
+        view = self._pop_view(timeout_ms)  # decode copies out of the view
+        return None if view is None else decode_batch(view)
 
     def wait_window(self, batch_index: int, window: int,
                     timeout_ms: int = 60_000) -> bool:
@@ -163,11 +182,12 @@ def encode_batch(batch: Dict[str, np.ndarray]) -> bytes:
     return len(hjson).to_bytes(4, "little") + hjson + b"".join(payload)
 
 
-def decode_batch(raw: bytes) -> Dict[str, np.ndarray]:
+def decode_batch(raw) -> Dict[str, np.ndarray]:
+    """raw: bytes or a memoryview (the arrays are copied out either way)."""
     import json
 
     hlen = int.from_bytes(raw[:4], "little")
-    header = json.loads(raw[4 : 4 + hlen])
+    header = json.loads(bytes(raw[4 : 4 + hlen]))
     base = 4 + hlen
     out = {}
     for k, meta in header.items():

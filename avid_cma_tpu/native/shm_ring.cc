@@ -76,13 +76,32 @@ int lock(RingHeader* h) {
   return rc;
 }
 
+// One timedwait step. Returns 0 when the caller should re-check its
+// predicate, -1 when it should give up — in which case the mutex has
+// ALREADY been unlocked. EOWNERDEAD (a producer died holding the robust
+// mutex mid-wait) marks the mutex consistent and re-checks; any error
+// other than timeout (EINVAL, ENOTRECOVERABLE) aborts rather than
+// spinning forever on a broken ring.
+int wait_step(pthread_cond_t* cv, RingHeader* h, const timespec* ts) {
+  int rc = pthread_cond_timedwait(cv, &h->mutex, ts);
+  if (rc == 0) return 0;
+  if (rc == EOWNERDEAD) {
+    pthread_mutex_consistent(&h->mutex);
+    return 0;
+  }
+  pthread_mutex_unlock(&h->mutex);
+  return -1;
+}
+
 }  // namespace
 
 extern "C" {
 
 // Returns an opaque handle (Ring*), or nullptr on failure.
 void* ring_create(const char* name, uint32_t n_slots, uint64_t slot_bytes) {
-  shm_unlink(name);  // stale ring from a crashed run
+  // O_EXCL: an existing segment with this name is an ERROR, not something
+  // to silently unlink — it may be another live loader's ring (the
+  // caller decides whether a leftover is stale; see ring_unlink)
   int fd = shm_open(name, O_CREAT | O_EXCL | O_RDWR, 0600);
   if (fd < 0) return nullptr;
   size_t bytes = total_bytes(n_slots, slot_bytes);
@@ -100,7 +119,6 @@ void* ring_create(const char* name, uint32_t n_slots, uint64_t slot_bytes) {
 
   auto* hdr = static_cast<RingHeader*>(mem);
   std::memset(hdr, 0, sizeof(RingHeader));
-  hdr->magic = kMagic;
   hdr->n_slots = n_slots;
   hdr->slot_bytes = slot_bytes;
 
@@ -115,6 +133,11 @@ void* ring_create(const char* name, uint32_t n_slots, uint64_t slot_bytes) {
   pthread_condattr_setpshared(&ca, PTHREAD_PROCESS_SHARED);
   pthread_cond_init(&hdr->not_full, &ca);
   pthread_cond_init(&hdr->not_empty, &ca);
+
+  // publish the magic LAST: ring_open validates it, and an opener racing
+  // this constructor must never see a valid header with uninitialized
+  // pthread objects
+  __atomic_store_n(&hdr->magic, kMagic, __ATOMIC_RELEASE);
 
   auto* ring = new Ring;
   ring->hdr = hdr;
@@ -162,10 +185,7 @@ int ring_push(void* handle, const uint8_t* data, uint64_t len, long timeout_ms) 
   make_abstime(&ts, timeout_ms);
   if (lock(h) != 0) return -1;
   while (h->count == h->n_slots) {
-    if (pthread_cond_timedwait(&h->not_full, &h->mutex, &ts) == ETIMEDOUT) {
-      pthread_mutex_unlock(&h->mutex);
-      return -1;
-    }
+    if (wait_step(&h->not_full, h, &ts) != 0) return -1;
   }
   uint8_t* slot = ring->slots + static_cast<size_t>(h->tail) * (8 + h->slot_bytes);
   std::memcpy(slot, &len, 8);
@@ -189,10 +209,7 @@ long long ring_pop(void* handle, uint8_t* out, uint64_t out_cap, long timeout_ms
       pthread_mutex_unlock(&h->mutex);
       return -2;
     }
-    if (pthread_cond_timedwait(&h->not_empty, &h->mutex, &ts) == ETIMEDOUT) {
-      pthread_mutex_unlock(&h->mutex);
-      return -1;
-    }
+    if (wait_step(&h->not_empty, h, &ts) != 0) return -1;
   }
   uint8_t* slot = ring->slots + static_cast<size_t>(h->head) * (8 + h->slot_bytes);
   uint64_t len;
@@ -204,7 +221,11 @@ long long ring_pop(void* handle, uint8_t* out, uint64_t out_cap, long timeout_ms
   std::memcpy(out, slot + 8, len);
   h->head = (h->head + 1) % h->n_slots;
   h->count -= 1;
-  pthread_cond_signal(&h->not_full);
+  // broadcast, not signal: not_full guards TWO predicates (free-slot
+  // pushers and window-gated producers) — a single wakeup can land on a
+  // window-gated waiter whose predicate is unchanged while a full-ring
+  // pusher holding the consumer's next batch sleeps forever (livelock)
+  pthread_cond_broadcast(&h->not_full);
   pthread_mutex_unlock(&h->mutex);
   return static_cast<long long>(len);
 }
@@ -220,10 +241,7 @@ int ring_wait_window(void* handle, uint64_t batch_index, uint64_t window,
   make_abstime(&ts, timeout_ms);
   if (lock(h) != 0) return -1;
   while (!h->closed && batch_index >= h->consumed + window) {
-    if (pthread_cond_timedwait(&h->not_full, &h->mutex, &ts) == ETIMEDOUT) {
-      pthread_mutex_unlock(&h->mutex);
-      return -1;
-    }
+    if (wait_step(&h->not_full, h, &ts) != 0) return -1;
   }
   pthread_mutex_unlock(&h->mutex);
   return 0;
@@ -259,5 +277,9 @@ void ring_free(void* handle, int unlink) {
   if (unlink) shm_unlink(ring->name);
   delete ring;
 }
+
+// Explicit stale-segment cleanup (the caller asserts nothing live owns
+// `name` — e.g. a leftover from a crashed run with a recycled pid).
+int ring_unlink(const char* name) { return shm_unlink(name); }
 
 }  // extern "C"

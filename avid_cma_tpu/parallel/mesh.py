@@ -33,14 +33,24 @@ def make_mesh(
     return Mesh(np.asarray(devs).reshape(shape), tuple(axis_names))
 
 
-def initialize_multihost() -> None:
+def initialize_multihost(required: bool = False) -> None:
     """Multi-host init (reference analogue: utils/main_utils.py:18-31).
     Safe to call on single-host setups where the TPU runtime provides
-    coordination; no-ops when not in a multi-host environment."""
+    coordination; no-ops when not in a multi-host environment.
+
+    `required=True` (an explicitly requested multi-host run, e.g. the
+    --multihost CLI flag): failures RAISE — silently degrading to N
+    independent single-process runs would train N wrong replicas that
+    clobber each other's checkpoints."""
     try:
         jax.distributed.initialize()
-    except (ValueError, RuntimeError):
-        pass  # single-process run
+    except (ValueError, RuntimeError) as e:
+        if required:
+            raise RuntimeError(
+                "multi-host initialization failed for an explicitly "
+                f"requested multi-host run: {e}"
+            ) from e
+        # auto-detection path: not a multi-host environment
 
 
 def process_batch_slice(global_batch: int) -> int:

@@ -6,8 +6,9 @@ corpora need the rows sharded over the mesh. This module provides the
 three bank primitives in sharded form:
 
   * gather_rows_sharded   — rows by global index: each device contributes
-    the rows it owns (masked local gather), combined with one psum over
-    the mesh axis. Cost: one (bs*K, D) psum riding ICI.
+    the rows it owns (masked local gather), combined over the mesh axis
+    with one reduce-scatter (replicated indices: one psum). Cost: one
+    (bs*K, D) collective riding ICI.
   * update_rows_sharded   — EMA+renorm scatter: every device computes the
     same updated rows from the all_gathered batch, then scatters only the
     rows it owns (out-of-range local indices dropped).
@@ -101,8 +102,9 @@ def gather_rows_sharded(
         return jax.lax.psum(_masked_local_rows(bank_local, idx, axis), axis)
     idx_g = jax.lax.all_gather(idx, axis)  # (n_dev,) + idx.shape
     rows = _masked_local_rows(bank_local, idx_g, axis)
-    rows = jax.lax.psum(rows, axis)
-    return rows[jax.lax.axis_index(axis)]
+    # psum_scatter, not psum+[axis_index]: each replica only keeps its own
+    # slot, so reduce-scatter moves 1/n_dev the bytes of a full all-reduce
+    return jax.lax.psum_scatter(rows, axis, scatter_dimension=0, tiled=False)
 
 
 def gather_values_sharded(
@@ -143,8 +145,11 @@ def _scores_sharded_fwd(bank_local, idx, query, axis):
     idx_g = jax.lax.all_gather(idx, axis)  # (n_dev, bs, K)
     q_g = jax.lax.all_gather(query, axis)  # (n_dev, bs, D)
     rows = _masked_local_rows(bank_local, idx_g, axis)  # (n_dev, bs, K, D)
-    s = jax.lax.psum(jnp.einsum("nbkd,nbd->nbk", rows, q_g), axis)
-    s_own = s[jax.lax.axis_index(axis)]
+    # reduce-scatter: each replica keeps only its own (bs, K) score slot
+    s_own = jax.lax.psum_scatter(
+        jnp.einsum("nbkd,nbd->nbk", rows, q_g), axis,
+        scatter_dimension=0, tiled=False,
+    )
     # query[:0]: zero-size carrier of the primal query dtype — the
     # backward's cotangent must come back in the PRIMAL's dtype (a bf16
     # model with an f32 bank would otherwise get an f32 dq that silently
@@ -162,9 +167,11 @@ def _scores_sharded_bwd(axis, res, ds):
     idx_g = jax.lax.all_gather(idx, axis)  # (n_dev, bs, K)
     ds_g = jax.lax.all_gather(ds, axis)  # (n_dev, bs, K)
     rows = _masked_local_rows(bank_local, idx_g, axis)  # (n_dev, bs, K, D)
-    dq = jax.lax.psum(jnp.einsum("nbkd,nbk->nbd", rows, ds_g), axis)
-    dq_own = dq[jax.lax.axis_index(axis)].astype(q_proto.dtype)
-    return jnp.zeros_like(bank_local), None, dq_own
+    dq = jax.lax.psum_scatter(
+        jnp.einsum("nbkd,nbk->nbd", rows, ds_g), axis,
+        scatter_dimension=0, tiled=False,
+    )
+    return jnp.zeros_like(bank_local), None, dq.astype(q_proto.dtype)
 
 
 scores_sharded.defvjp(_scores_sharded_fwd, _scores_sharded_bwd)

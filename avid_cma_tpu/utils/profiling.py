@@ -38,7 +38,8 @@ def stop_trace() -> None:
 
 
 def annotate(name: str):
-    """Named region on the profiler timeline (also usable as decorator)."""
+    """Named region on the profiler timeline (context manager). For a
+    decorator use jax.profiler.annotate_function."""
     return jax.profiler.TraceAnnotation(name)
 
 

@@ -27,7 +27,7 @@ def main():
     if args.multihost:
         from avid_cma_tpu.parallel.mesh import initialize_multihost
 
-        initialize_multihost()
+        initialize_multihost(required=True)
     # flag parity with the reference CLI (eval-action-recg.py:21-24);
     # the loops read these as config keys
     for flag in ("test_only", "resume", "quiet"):

@@ -31,7 +31,7 @@ def parse_args():
 def main():
     args = parse_args()
     if args.multihost:
-        initialize_multihost()
+        initialize_multihost(required=True)
     cfg = config_lib.load(args.cfg, overrides=args.overrides)
 
     from avid_cma_tpu.train.loop import run_pretraining
