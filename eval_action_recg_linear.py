@@ -6,36 +6,12 @@ folds like the reference main):
     python eval_action_recg_linear.py <eval_cfg.yaml> <model_cfg.yaml>
 """
 
-import argparse
-
-from avid_cma_tpu import config as config_lib
+from avid_cma_tpu.cli import eval_arg_parser, parse_eval_args
 
 
 def main():
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("eval_cfg")
-    p.add_argument("model_cfg")
-    p.add_argument("--debug", action="store_true")
-    p.add_argument("--test-only", dest="test_only", action="store_true",
-                   help="skip training; evaluate the saved checkpoint")
-    p.add_argument("--resume", action="store_true")
-    p.add_argument("--quiet", action="store_true")
-    p.add_argument("--multihost", action="store_true",
-                   help="initialize jax.distributed for multi-host runs")
-    p.add_argument("--set", dest="overrides", action="append", default=[])
-    args = p.parse_args()
-    if args.multihost:
-        from avid_cma_tpu.parallel.mesh import initialize_multihost
-
-        initialize_multihost(required=True)
-    # flag parity with the reference CLI (eval-action-recg.py:21-24);
-    # the loops read these as config keys
-    for flag in ("test_only", "resume", "quiet"):
-        if getattr(args, flag):
-            args.overrides.append(f"{flag}=true")
-
-    eval_cfg = config_lib.load(args.eval_cfg, overrides=args.overrides)
-    model_cfg = config_lib.load(args.model_cfg).model
+    p = eval_arg_parser(__doc__)
+    args, eval_cfg, model_cfg = parse_eval_args(p)
 
     from avid_cma_tpu.train.eval_loop import run_linear_probe
 

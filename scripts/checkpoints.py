@@ -39,7 +39,16 @@ def cmd_download(args):
             print(f"exists: {dest}")
             continue
         print(f"fetching {url} -> {dest}")
-        subprocess.run(["wget", "-q", "-O", dest, url], check=True)
+        # download to a temp name and rename on success: wget -O creates
+        # dest before fetching, and a failed run would leave a partial
+        # file that every later run skips as 'exists'
+        tmp = dest + ".part"
+        try:
+            subprocess.run(["wget", "-q", "-O", tmp, url], check=True)
+            os.replace(tmp, dest)
+        finally:
+            if os.path.isfile(tmp):
+                os.remove(tmp)
 
 
 def cmd_inspect(args):

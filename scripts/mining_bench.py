@@ -56,7 +56,7 @@ def main():
         return b / jnp.linalg.norm(b, axis=1, keepdims=True)
 
     bv, ba = bank(), bank()
-    nq = args.queries or args.n
+    nq = min(args.queries or args.n, args.n)  # clamp: queries are bank rows
     qi = jnp.arange(nq, dtype=jnp.int32)
 
     sweep = jax.jit(
