@@ -118,11 +118,22 @@ class DataLoader:
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(epoch)
 
+    def set_start_batch(self, n: int) -> None:
+        """Skip the first `n` batches of the NEXT iteration only (consumed
+        on first __iter__). Mid-epoch resume: skipping at the index level
+        costs nothing, while discarding yielded batches would pay a full
+        decode for every already-trained batch."""
+        self._start_batch = int(n)
+
     def __len__(self) -> int:
         return len(self.sampler)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = list(self.sampler)
+        start = getattr(self, "_start_batch", 0)
+        self._start_batch = 0
+        if start:
+            batches = batches[start:]
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -255,6 +266,11 @@ class MultiprocessDataLoader:
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(epoch)
 
+    def set_start_batch(self, n: int) -> None:
+        """One-shot batch skip for the next iteration (see
+        DataLoader.set_start_batch)."""
+        self._start_batch = int(n)
+
     def __len__(self) -> int:
         return len(self.sampler)
 
@@ -268,6 +284,10 @@ class MultiprocessDataLoader:
         import uuid
 
         batches = list(self.sampler)
+        start = getattr(self, "_start_batch", 0)
+        self._start_batch = 0
+        if start:
+            batches = batches[start:]
         # uuid, not id(self): object ids are 16-byte aligned (~12 useful
         # bits), and two live loaders in one process (train + in-training
         # eval) colliding on a name would destroy each other's ring

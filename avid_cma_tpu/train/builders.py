@@ -110,8 +110,7 @@ def build_dataset(
         kwargs["cache_path"] = db_cfg["cache_path"]
         kwargs.pop("anno_path", None)
     if name == "audioset":
-        kwargs.pop("return_labels", None)
-        kwargs["return_labels"] = False
+        kwargs["return_labels"] = False  # AudioSet has no labels here
     return DATASETS.get(name)(**kwargs)
 
 

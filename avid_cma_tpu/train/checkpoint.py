@@ -139,6 +139,18 @@ def flax_to_torch_state(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
     """Inverse mapping: flax variables -> reference-format state_dict."""
     out: Dict[str, np.ndarray] = {}
 
+    # the reference's depth-10 stages are BARE blocks (conv2x.spt_conv1),
+    # not 1-element Sequentials (conv2x.0.spt_conv1) — models/video.py:27-31
+    # vs :32-37 — so single-block stages must export bare keys or torch
+    # load_state_dict rejects the file (the importer handles both forms)
+    stage_blocks: Dict[str, int] = {}
+    for k in variables.get("params", {}).get("video_model", {}):
+        m = re.match(r"(conv\dx)_(\d+)$", k)
+        if m:
+            stage_blocks[m.group(1)] = max(
+                stage_blocks.get(m.group(1), 0), int(m.group(2)) + 1
+            )
+
     def emit(key: str, val: np.ndarray):
         out[key] = val
 
@@ -173,7 +185,10 @@ def flax_to_torch_state(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
             return
         # video stages conv{2..5}x_<i>
         stage, idx = rest[0].rsplit("_", 1)
-        prefix = f"{tower}.{stage}.{idx}"
+        if stage_blocks.get(stage, 2) == 1:  # depth-10 bare block
+            prefix = f"{tower}.{stage}"
+        else:
+            prefix = f"{tower}.{stage}.{idx}"
         sub = rest[1]
         if leaf == "kernel":
             emit(f"{prefix}.{sub}.weight", _to_torch_weight(arr))
@@ -194,16 +209,6 @@ def flax_to_torch_state(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 # .pth.tar import/export (torch only needed when actually used)
 # ---------------------------------------------------------------------------
-
-def load_pth_tar(path: str) -> Dict[str, Any]:
-    import torch
-
-    ckp = torch.load(path, map_location="cpu", weights_only=False)
-    return {
-        k: (v if not hasattr(v, "numpy") else v)
-        for k, v in ckp.items()
-    }
-
 
 def import_model_pth_tar(path: str) -> Dict[str, Any]:
     """Reference pretrain checkpoint -> flax variables

@@ -58,6 +58,24 @@ def classifier_only_mask(params) -> dict:
     return jax.tree_util.tree_map_with_path(classifier_param_filter, params)
 
 
+def classifier_only_optimizer(
+    base_opt: optax.GradientTransformation, params
+) -> optax.GradientTransformation:
+    """Train the classifier head only, hard-freezing everything else.
+
+    NOT optax.masked(base_opt, mask): masked passes the masked-OUT
+    leaves' updates through as the RAW gradient, which apply_updates then
+    ADDS to the 'frozen' params — unscaled gradient ascent on the
+    pretrained backbone (verified against optax 0.2.6). set_to_zero makes
+    frozen updates exactly zero regardless of the model's gradient flow."""
+    labels = jax.tree.map(
+        lambda t: "train" if t else "freeze", classifier_only_mask(params)
+    )
+    return optax.multi_transform(
+        {"train": base_opt, "freeze": optax.set_to_zero()}, labels
+    )
+
+
 def make_supervised_train_step(
     model,
     optimizer: optax.GradientTransformation,
@@ -250,6 +268,16 @@ def _preprocess_frames(batch, pp_cfg, key, train: bool):
     return out["frames"]
 
 
+def _probe_frames(ds, batch_size: int, pp_cfg):
+    """Shape probe for model.init: decode ONE item and tile it to batch
+    size (pattern of train/loop.py's probe) — a loader batch here would
+    pay a full batch of video decode plus a prefetch worker-pool spin-up
+    before the model even initializes."""
+    frames = np.asarray(ds[0]["frames"])
+    batch = {"frames": np.repeat(frames[None], max(batch_size, 1), axis=0)}
+    return _preprocess_frames(batch, pp_cfg, jax.random.key(0), True)
+
+
 def run_action_recognition(
     eval_cfg: Config, model_cfg: Config, fold: Optional[int] = None,
     debug: bool = False,
@@ -307,8 +335,8 @@ def run_action_recognition(
                                             **shard_kw)
 
     pp_cfg = builders.build_preprocess_config(db)
-    sample_frames = _preprocess_frames(
-        next(iter(train_loader)), pp_cfg, jax.random.key(0), True
+    sample_frames = _probe_frames(
+        train_ds, int(db["batch_size"]) // max(jax.process_count(), 1), pp_cfg
     )
 
     variables = model.init(
@@ -400,7 +428,7 @@ def run_action_recognition(
         # NOTE: steps donate their input state, so the finetune state must
         # be derived from the warmup OUTPUT, never from pre-warmup buffers.
         warmup_epochs = 1 if debug else int(opt_cfg.get("warmup_epochs", 5))
-        warm_opt = optax.masked(full_opt, classifier_only_mask(params))
+        warm_opt = classifier_only_optimizer(full_opt, params)
         warm_step = make_supervised_train_step(model, warm_opt, mesh)
         # warmup has its own manager: its masked opt-state tree differs
         # from the finetune one, and preempting a 5-epoch warmup (each
@@ -788,8 +816,8 @@ def run_linear_probe(
                                             **shard_kw)
     pp_cfg = builders.build_preprocess_config(db)
 
-    sample_frames = _preprocess_frames(
-        next(iter(train_loader)), pp_cfg, jax.random.key(0), True
+    sample_frames = _probe_frames(
+        train_ds, int(db["batch_size"]) // max(jax.process_count(), 1), pp_cfg
     )
     variables = model.init(jax.random.key(0), sample_frames, train=False)
     params = dict(variables["params"])
@@ -803,7 +831,9 @@ def run_linear_probe(
     opt_cfg = eval_cfg.optimizer
     steps_per_epoch = max(len(train_loader), 1)
     base_opt = build_from_config(opt_cfg, steps_per_epoch)
-    optimizer = optax.masked(base_opt, classifier_only_mask(params))
+    # hard freeze (MOSTModel also stop_gradients its features, so these
+    # updates are zero either way — but the optimizer must not rely on it)
+    optimizer = classifier_only_optimizer(base_opt, params)
     num_epochs = int(opt_cfg["num_epochs"]) if not debug else 1
 
     state = TrainState(

@@ -261,9 +261,10 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
         # fast-forward past the already-trained batches (the deterministic
         # sampler reproduces the same order for a given epoch) instead of
         # double-training them and drifting the step count vs the LR
-        # schedule. Debug runs break epochs early, so the arithmetic only
-        # holds in production mode.
+        # schedule. Not in debug mode: debug shrinks the batch size, so
+        # steps_per_epoch no longer matches the run being resumed.
         skip_batches = 0
+        start_it = 0
         if not debug and epoch == start_epoch:
             skip_batches = min(
                 max(host_step - epoch * steps_per_epoch, 0), len(loader)
@@ -273,6 +274,12 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
                     f"mid-epoch resume: skipping {skip_batches} "
                     f"already-trained batches of epoch {epoch}"
                 )
+            if skip_batches and hasattr(loader, "set_start_batch"):
+                # index-level skip: no decode is paid for skipped batches
+                # (discarding yielded batches would decode them all —
+                # hours at AudioSet scale)
+                loader.set_start_batch(skip_batches)
+                start_it, skip_batches = skip_batches, 0
 
         def drain_losses():
             for arr, n in pending_losses:
@@ -280,9 +287,9 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
             pending_losses.clear()
 
         t0 = time.time()
-        for it, batch in enumerate(loader):
-            if it < skip_batches:
-                t0 = time.time()
+        for it, batch in enumerate(loader, start=start_it):
+            if it - start_it < skip_batches:  # discard fallback for
+                t0 = time.time()              # loaders without set_start_batch
                 continue
             meters["data_t"].update(time.time() - t0)
             # profile_steps: [start, stop) global-step window captured as

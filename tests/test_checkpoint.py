@@ -411,3 +411,36 @@ def test_scripts_export_from_orbax_run(tmp_path):
     assert ckp2["train_criterion"]["nce_average.view1_mem"].shape[0] == num_data
     pg2 = ckp2["optimizer"]["param_groups"][0]
     assert pg2["lr"] == 5e-4 and pg2["weight_decay"] == 1e-5
+
+
+def test_depth10_export_emits_bare_block_keys():
+    """Reference depth-10 stages are BARE BasicR2P1DBlocks (models/
+    video.py:27-31), so a depth-10 export must emit conv2x.spt_conv1.*
+    (no Sequential index) or torch load_state_dict rejects it; the
+    importer accepts either form, so the round-trip must also hold."""
+    from avid_cma_tpu.models import av_wrapper
+
+    model = av_wrapper(
+        video_backbone="R2Plus1D",
+        video_backbone_args={"depth": 10},
+        audio_backbone="Conv2D",
+        audio_backbone_args={"depth": 10},
+        proj_dim=[64, 32],
+    )
+    video = jnp.zeros((1, 4, 32, 32, 3))
+    audio = jnp.zeros((1, 64, 65, 1))
+    variables = model.init(jax.random.key(0), video, audio, train=False)
+    sd = flax_to_torch_state(variables)
+    stage_keys = [k for k in sd if ".conv2x." in k]
+    assert stage_keys, "no conv2x keys exported"
+    for k in stage_keys:
+        assert not k.split(".conv2x.")[1][0].isdigit(), (
+            f"depth-10 export must use bare block keys, got {k}"
+        )
+    back = torch_state_to_flax(sd)
+    flat_a = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back["params"])[0]
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))

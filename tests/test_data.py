@@ -347,3 +347,32 @@ def test_dense_chunk_pads_short_videos():
     )
     out = ds[0]
     assert out["frames"].shape == (3, 8, 32, 40, 3)  # full clip length
+
+
+def test_loader_set_start_batch_skips_decodes():
+    """Mid-epoch resume skips batches at the INDEX level: skipped batches
+    must never hit the dataset (no decode paid), and the skip is one-shot."""
+    from avid_cma_tpu.data.loader import DataLoader
+
+    class CountingDS:
+        def __init__(self, n):
+            self.n = n
+            self.calls = []
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            self.calls.append(i)
+            return {"x": np.full((2,), i, np.int32)}
+
+    ds = CountingDS(12)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=True,
+                        num_workers=1)
+    loader.set_start_batch(4)
+    batches = list(loader)
+    assert len(batches) == 2  # 6 total - 4 skipped
+    assert sorted(ds.calls) == [8, 9, 10, 11]  # first 4 batches never decoded
+    # one-shot: the next epoch iterates fully
+    ds.calls.clear()
+    assert len(list(loader)) == 6 and len(ds.calls) == 12

@@ -145,3 +145,60 @@ def test_linear_probe_multi_tap(tmp_path):
     results = run_linear_probe(ecfg, model_cfg(tmp_path), fold=1, debug=True)
     for ft in ("conv5x", "pool"):
         assert "clip@1" in results[ft] and np.isfinite(results[ft]["clip@1"])
+
+
+def test_warmup_optimizer_freezes_backbone():
+    """The classifier-only warmup must leave feature_extractor params
+    bit-identical after a step with NONZERO backbone gradients —
+    optax.masked would have passed the raw gradient through and
+    apply_updates would ADD it (unscaled ascent on the pretrained
+    backbone); regression for the classifier_only_optimizer fix."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from avid_cma_tpu.models.eval_wrappers import ClassificationWrapper
+    from avid_cma_tpu.models.video import R2Plus1D
+    from avid_cma_tpu.parallel.mesh import make_mesh
+    from avid_cma_tpu.train.eval_loop import (
+        classifier_only_optimizer,
+        make_supervised_train_step,
+    )
+    from avid_cma_tpu.train.state import TrainState
+
+    model = ClassificationWrapper(
+        feature_extractor=R2Plus1D(depth=10), n_classes=5, feat_name="pool"
+    )
+    # 2 samples per device: the head's BatchNorm zeroes its features at
+    # per-device batch 1 (x - mean(x) == 0), which would zero the head
+    # grads and make the 'head trained' assertion vacuous
+    frames = jnp.asarray(
+        np.random.default_rng(0).normal(size=(16, 4, 32, 32, 3)), jnp.float32
+    )
+    labels = jnp.asarray([1, 3, 0, 4, 2, 1, 3, 0] * 2, jnp.int32)
+    variables = model.init(jax.random.key(0), frames, train=False)
+    opt = classifier_only_optimizer(optax.adam(1e-2), variables["params"])
+    state = TrainState(
+        step=jnp.int32(0), epoch=jnp.int32(0), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=opt.init(variables["params"]), bank=None,
+        rng=jax.random.key(0),
+    )
+    # copy=True: the step donates its input buffers, and a zero-copy
+    # np.asarray view on CPU would alias the in-place-updated memory,
+    # making both assertions vacuous
+    before = jax.tree.map(
+        lambda a: np.array(a, copy=True), state.params["feature_extractor"]
+    )
+    head_before = np.array(state.params["classifier"]["kernel"], copy=True)
+    step = make_supervised_train_step(model, opt, make_mesh())
+    state, m, _ = step(state, frames, labels)
+    after = state.params["feature_extractor"]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        after, before,
+    )
+    # and the head DID train
+    assert not np.array_equal(
+        np.asarray(state.params["classifier"]["kernel"]), head_before
+    )
