@@ -117,3 +117,55 @@ def test_ring_window_gate():
         assert ring.wait_window(100, 4, timeout_ms=100)    # closed: release
     finally:
         ring.free()
+
+
+def test_ring_survives_sigkilled_producer():
+    """A producer SIGKILLed mid-stream must not wedge the ring: the
+    robust mutex recovers (EOWNERDEAD marked consistent in lock() and
+    wait_step()) and the consumer keeps popping other producers' data.
+    The kill lands at a random point, so this probabilistically also
+    exercises death while holding the mutex."""
+    import signal
+    import time
+
+    name = f"/avid_test_{os.getpid()}_kill"
+    ring = native.ShmRing(name, n_slots=2, slot_bytes=1 << 12)
+    try:
+        pid = os.fork()
+        if pid == 0:  # hot-loop producer, killed externally
+            try:
+                child = native.ShmRing(name, create=False)
+                i = 0
+                while True:
+                    child.push_batch({"x": np.full(4, i, np.int32)},
+                                     timeout_ms=5_000)
+                    i += 1
+            finally:
+                os._exit(0)
+        # let it fill/contend, then kill at an arbitrary moment
+        for _ in range(50):
+            ring.pop_batch(timeout_ms=5_000)
+        os.kill(pid, signal.SIGKILL)
+        os.waitpid(pid, 0)
+        time.sleep(0.05)
+        # drain whatever the dead producer left, tolerating its loss
+        try:
+            while len(ring):
+                ring.pop_batch(timeout_ms=1_000)
+        except TimeoutError:
+            pass
+        # the ring must still work end-to-end for a fresh producer
+        pid2 = os.fork()
+        if pid2 == 0:
+            try:
+                child = native.ShmRing(name, create=False)
+                for i in range(5):
+                    child.push_batch({"x": np.full(4, 100 + i, np.int32)},
+                                     timeout_ms=5_000)
+            finally:
+                os._exit(0)
+        got = [int(ring.pop_batch(timeout_ms=10_000)["x"][0]) for _ in range(5)]
+        os.waitpid(pid2, 0)
+        assert got == [100, 101, 102, 103, 104]
+    finally:
+        ring.free()
