@@ -71,7 +71,7 @@ class Kinetics(VideoDataset):
     ):
         self.name = "Kinetics dataset"
         self.subset = subset
-        be = _resolve_backend(backend)
+        be = _resolve_backend(backend, out_hw=kwargs.pop("decode_size", None))
         if root and os.path.isdir(os.path.join(root, subset)):
             _guard_real_listing(be, backend)
             base = os.path.join(root, subset)
@@ -147,7 +147,7 @@ class AudioSet(VideoDataset):
         assert not kwargs.get("return_labels"), "AudioSet has no labels"
         self.name = "AudioSet dataset"
         self.subset = subset
-        be = _resolve_backend(backend)
+        be = _resolve_backend(backend, out_hw=kwargs.pop("decode_size", None))
         if cache_path is None and os.path.isfile(
             os.path.join(AUDIOSET_CACHE, f"{subset}.txt")
         ) and not isinstance(be, SyntheticBackend):
@@ -188,7 +188,7 @@ class _SplitFileDataset(VideoDataset):
         assert not kwargs.get("return_audio", False), f"{name} is video-only"
         self.name = name
         self.subset = subset
-        be = _resolve_backend(backend)
+        be = _resolve_backend(backend, out_hw=kwargs.pop("decode_size", None))
         self._backend_arg = backend
         fns, labels = self._load_split(root, anno_path, subset, be, synthetic_size)
         self.num_videos = len(fns)

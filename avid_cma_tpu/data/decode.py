@@ -38,6 +38,36 @@ def fps_grid_indices(
     )
 
 
+def scale_crop_frames(
+    frames: np.ndarray, out_hw: Tuple[int, int]
+) -> np.ndarray:
+    """Cover-scale (short side fills the target) + center-crop each frame
+    to exactly `out_hw`. A FIXED decode size is what keeps the raw->device
+    pipeline static-shaped (batch collate + jitted preprocessing) across
+    heterogeneous real media, and it cuts loader/ring bytes ~10x for
+    high-res sources (SURVEY hard part #1: input throughput). The crop
+    field the device-side random-resized-crop then samples from is the
+    covered center region rather than the full frame — size `decode_size`
+    generously (e.g. 1.14x crop_size, matching the synthetic backend's
+    256x320 for 224 crops)."""
+    import cv2
+
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    t, h, w = frames.shape[:3]
+    if (h, w) == (oh, ow):
+        return frames
+    s = max(oh / h, ow / w)
+    nh = max(int(round(h * s)), oh)
+    nw = max(int(round(w * s)), ow)
+    y0, x0 = (nh - oh) // 2, (nw - ow) // 2
+    interp = cv2.INTER_AREA if s < 1.0 else cv2.INTER_LINEAR
+    out = np.empty((t, oh, ow) + frames.shape[3:], frames.dtype)
+    for i in range(t):
+        r = cv2.resize(frames[i], (nw, nh), interpolation=interp)
+        out[i] = r[y0 : y0 + oh, x0 : x0 + ow]
+    return out
+
+
 def trim_pad_audio(
     sig: np.ndarray, decode_start: float, start: float,
     sample_rate: int, n_target: int,
@@ -143,12 +173,18 @@ class SyntheticBackend(DecodeBackend):
 
 
 class PyAVBackend(DecodeBackend):
-    """PyAV/FFmpeg decode (semantics of av_wrappers.py:17-113)."""
+    """PyAV/FFmpeg decode (semantics of av_wrappers.py:17-113).
 
-    def __init__(self):
+    `out_hw=(H, W)` cover-scales + center-crops every frame at decode
+    time (see scale_crop_frames) so output shapes are fixed across
+    heterogeneous media; None keeps native resolution."""
+
+    def __init__(self, out_hw: Optional[Tuple[int, int]] = None):
         import av  # noqa: F401  (raises if unavailable)
 
         self._av = av
+        self.out_hw = tuple(out_hw) if out_hw is not None else None
+        self.frame_hw = self.out_hw
 
     def get_meta(self, path: str) -> VideoMeta:
         with self._av.open(path) as c:
@@ -189,7 +225,10 @@ class PyAVBackend(DecodeBackend):
         if not frames:
             raise RuntimeError(f"no frames decoded from {path} @ {start}")
         idx = fps_grid_indices(times, start, n_target, fps)
-        return np.stack([frames[i] for i in idx])
+        out = np.stack([frames[i] for i in idx])
+        if self.out_hw is not None:
+            out = scale_crop_frames(out, self.out_hw)
+        return out
 
     def load_audio(self, path, start, duration, sample_rate) -> np.ndarray:
         av = self._av
@@ -244,9 +283,14 @@ class FFmpegCLIBackend(DecodeBackend):
     # order of a GB of host RAM, multiplied across loader processes
     META_CACHE_MAX = 200_000
 
-    def __init__(self):
+    def __init__(self, out_hw: Optional[Tuple[int, int]] = None):
         if shutil.which("ffmpeg") is None or shutil.which("ffprobe") is None:
             raise RuntimeError("ffmpeg/ffprobe not on PATH")
+        # fixed output size implemented INSIDE the filter graph (cover
+        # scale + centered crop): besides making shapes static, it cuts
+        # the rawvideo bytes crossing the pipe for high-res sources
+        self.out_hw = tuple(out_hw) if out_hw is not None else None
+        self.frame_hw = self.out_hw
         # per-path metadata LRU: get_meta spawns an ffprobe subprocess,
         # and every clip load of the same file needs the same answer
         # (clip-mode training probes each file once per epoch otherwise,
@@ -286,6 +330,16 @@ class FFmpegCLIBackend(DecodeBackend):
     def load_video(self, path, start, duration, fps) -> np.ndarray:
         meta = self.get_meta(path)
         n = int(np.ceil(duration * fps))
+        vf = f"fps={fps}"
+        if self.out_hw is not None:
+            oh, ow = self.out_hw
+            # cover scale (ceil: crop needs input >= output) + center crop
+            expr = f"max({ow}/iw\\,{oh}/ih)"
+            vf += (f",scale='ceil(iw*{expr})':'ceil(ih*{expr})'"
+                   f",crop={ow}:{oh}")
+            out_h, out_w = oh, ow
+        else:
+            out_h, out_w = meta.height, meta.width
         cmd = [
             # -noautorotate: the reshape below uses ffprobe's coded w/h;
             # ffmpeg's default displaymatrix rotation would emit swapped
@@ -294,11 +348,11 @@ class FFmpegCLIBackend(DecodeBackend):
             # reference's av_wrappers.py behavior)
             "ffmpeg", "-v", "error", "-noautorotate",
             "-ss", str(start), "-t", str(duration),
-            "-i", path, "-vf", f"fps={fps}", "-pix_fmt", "rgb24",
+            "-i", path, "-vf", vf, "-pix_fmt", "rgb24",
             "-f", "rawvideo", "-",
         ]
         raw = subprocess.run(cmd, capture_output=True, check=True).stdout
-        frame_bytes = meta.width * meta.height * 3
+        frame_bytes = out_w * out_h * 3
         got = len(raw) // frame_bytes
         frames = np.frombuffer(raw[: got * frame_bytes], np.uint8).reshape(
             got, meta.height, meta.width, 3
@@ -325,17 +379,27 @@ class FFmpegCLIBackend(DecodeBackend):
         return sig
 
 
-def make_backend(name: str = "auto", **kwargs) -> DecodeBackend:
+def make_backend(
+    name: str = "auto",
+    out_hw: Optional[Tuple[int, int]] = None,
+    **kwargs,
+) -> DecodeBackend:
+    """`out_hw=(H, W)`: fixed decode size — real backends cover-scale +
+    center-crop at decode time (config surface: dataset.decode_size);
+    the synthetic backend generates at that size directly."""
     if name == "synthetic":
+        if out_hw is not None:
+            kwargs.setdefault("height", int(out_hw[0]))
+            kwargs.setdefault("width", int(out_hw[1]))
         return SyntheticBackend(**kwargs)
     if name == "pyav":
-        return PyAVBackend()
+        return PyAVBackend(out_hw=out_hw)
     if name == "ffmpeg":
-        return FFmpegCLIBackend()
+        return FFmpegCLIBackend(out_hw=out_hw)
     if name == "auto":
         for cls in (PyAVBackend, FFmpegCLIBackend):
             try:
-                return cls()
+                return cls(out_hw=out_hw)
             except Exception:
                 continue
         # no real decoder available: fall back to synthetic, but LOUDLY —
@@ -348,5 +412,8 @@ def make_backend(name: str = "auto", **kwargs) -> DecodeBackend:
             "falling back to the SYNTHETIC backend (procedurally generated "
             "frames/audio). Set dataset.backend explicitly to silence this."
         )
+        if out_hw is not None:
+            kwargs.setdefault("height", int(out_hw[0]))
+            kwargs.setdefault("width", int(out_hw[1]))
         return SyntheticBackend(**kwargs)
     raise ValueError(f"unknown decode backend '{name}'")

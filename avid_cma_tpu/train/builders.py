@@ -104,6 +104,13 @@ def build_dataset(
         )
     if "synthetic_size" in db_cfg:
         kwargs["synthetic_size"] = int(db_cfg["synthetic_size"])
+    if db_cfg.get("decode_size") is not None:
+        # fixed decode size (H, W): real backends cover-scale+crop at
+        # decode time so heterogeneous media yields static shapes for the
+        # batch collate + jitted preprocessing (decode.scale_crop_frames)
+        kwargs["decode_size"] = tuple(
+            int(x) for x in db_cfg["decode_size"]
+        )
     if db_cfg.get("anno_path") is not None:
         kwargs["anno_path"] = db_cfg["anno_path"]
     if db_cfg.get("cache_path") is not None and name == "audioset":

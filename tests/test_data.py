@@ -376,3 +376,39 @@ def test_loader_set_start_batch_skips_decodes():
     # one-shot: the next epoch iterates fully
     ds.calls.clear()
     assert len(list(loader)) == 6 and len(ds.calls) == 12
+
+
+def test_scale_crop_frames_cover_semantics():
+    from avid_cma_tpu.data.decode import scale_crop_frames
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (3, 90, 160, 3), dtype=np.uint8)
+    out = scale_crop_frames(frames, (64, 64))
+    assert out.shape == (3, 64, 64, 3) and out.dtype == np.uint8
+    # cover scale: the SHORT side (90) maps to >= 64 with aspect kept,
+    # so the crop samples the horizontal center of the frame
+    up = scale_crop_frames(frames, (128, 200))  # upscale path
+    assert up.shape == (3, 128, 200, 3)
+    # no-op when already at size
+    same = scale_crop_frames(frames, (90, 160))
+    assert same is frames
+
+
+def test_decode_size_reaches_backend_from_config():
+    """dataset.decode_size must fix the decoded frame size (static shapes
+    for collate + jit across heterogeneous real media) and expose it as
+    backend.frame_hw for the dense-eval failure fallback."""
+    from avid_cma_tpu.config import from_dict
+    from avid_cma_tpu.train import builders
+
+    db = from_dict({
+        "name": "ucf101", "backend": "synthetic", "synthetic_size": 4,
+        "fold": 1, "batch_size": 2, "clip_duration": 0.25,
+        "video_fps": 8.0, "decode_size": [48, 64],
+        "train": {"split": "trainlist{fold:02d}", "mode": "clip",
+                  "clips_per_video": 1, "use_augmentation": True},
+    })
+    ds = builders.build_dataset(db, db.train, return_audio=False,
+                                return_labels=True, fold=1)
+    assert ds.backend.frame_hw == (48, 64)
+    assert ds[0]["frames"].shape[1:] == (48, 64, 3)

@@ -335,3 +335,14 @@ def test_ffmpeg_audio_trim_and_pad(ffmpeg_backend, tmp_path):
     n_real = int(0.25 * SRC_RATE)
     assert sig.shape == (int(0.5 * SRC_RATE),)
     np.testing.assert_array_equal(sig[n_real:], 0.0)
+
+
+def test_pyav_fixed_decode_size(monkeypatch):
+    """out_hw: frames come back cover-scaled + center-cropped to a fixed
+    (H, W) regardless of source resolution, and frame_hw advertises it
+    (static shapes for collate/jit; dense-eval fallback shape source)."""
+    monkeypatch.setitem(sys.modules, "av", _FakeAV())
+    be = PyAVBackend(out_hw=(16, 20))
+    assert be.frame_hw == (16, 20)
+    out = be.load_video("x.mp4", 0.0, 0.5, 8.0)
+    assert out.shape == (4, 16, 20, 3) and out.dtype == np.uint8
