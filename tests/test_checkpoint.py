@@ -49,10 +49,14 @@ def test_torch_flax_key_roundtrip():
     for (pa, va), (pb, vb) in zip(flat_a, flat_b):
         assert pa == pb
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
-    # batch_stats too
+    # batch_stats too — VALUES, not just leaf counts (a converter that
+    # swaps mean/var or zeroes running stats must fail here)
     flat_a = jax.tree_util.tree_flatten_with_path(variables["batch_stats"])[0]
     flat_b = jax.tree_util.tree_flatten_with_path(back["batch_stats"])[0]
     assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
 
 
 def test_pth_tar_roundtrip(tmp_path):
@@ -75,6 +79,10 @@ def test_pth_tar_roundtrip(tmp_path):
 
     bank2 = import_criterion_pth_tar(path)
     np.testing.assert_array_equal(np.asarray(bank.view1_mem), np.asarray(bank2.view1_mem))
+    # view2 as well: an exporter writing view1 into the view2 slot (the
+    # banks are same-shaped) must fail here
+    np.testing.assert_array_equal(np.asarray(bank.view2_mem), np.asarray(bank2.view2_mem))
+    assert not np.array_equal(np.asarray(bank2.view1_mem), np.asarray(bank2.view2_mem))
     assert float(bank2.z) == 2.5
 
 

@@ -111,6 +111,10 @@ def test_cma_within_modal_negative_truncation(rng):
         num_data=N, embedding_dim=D, num_negatives=8,
         num_negatives_within=8, pos_k=pos_k,
     )
+    cfg_fewer = AVIDCMAConfig(
+        num_data=N, embedding_dim=D, num_negatives=8,
+        num_negatives_within=3, pos_k=pos_k,
+    )
     bank = init_bank_state(jax.random.key(2), N, D)
     pos_set = mine_positives(bank.view1_mem, bank.view2_mem, pos_k, "consensus", tile=8)
     st = cma_state_from_bank(bank, pos_set)
@@ -121,3 +125,7 @@ def test_cma_within_modal_negative_truncation(rng):
     l2, _, _ = cma_forward(st, v, a, y, jax.random.key(3), cfg_trunc)
     # truncation to the full K is identity
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    # a REAL truncation (3 of 8) must change the within-modal losses —
+    # an implementation ignoring num_negatives_within would match l1
+    l3, _, _ = cma_forward(st, v, a, y, jax.random.key(3), cfg_fewer)
+    assert abs(float(l3) - float(l1)) > 1e-6

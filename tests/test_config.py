@@ -93,19 +93,29 @@ def test_to_dict_roundtrip():
 
 
 def test_cli_entry_parses_and_overrides(tmp_path):
-    """main_avid.py's --set semantics end-to-end at the parse layer."""
+    """main_avid.py's parse layer: --help exits 0 and advertises --set;
+    a bad config path fails cleanly (nonzero, mentions the path) rather
+    than hanging or tracebacking into an unrelated layer. (--set value
+    semantics end-to-end are covered by test_cli.test_main_avid_cli.)"""
     import subprocess
     import sys
 
-    # parse-only probe: bad config path should fail cleanly, good --help
-    # must exit 0 and mention --set
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, "main_avid.py", "--help"],
-        capture_output=True, text=True, cwd=os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))
+        capture_output=True, text=True, cwd=repo,
     )
     assert r.returncode == 0
     assert "--set" in r.stdout
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # sitecustomize would force TPU
+    r = subprocess.run(
+        [sys.executable, "main_avid.py", "/no/such/config.yaml"],
+        capture_output=True, text=True, cwd=repo, timeout=120, env=env,
+    )
+    assert r.returncode != 0
+    assert "config.yaml" in (r.stderr + r.stdout)
 
 
 def test_criterion_registry_extension_point():

@@ -381,12 +381,19 @@ def test_loader_set_start_batch_skips_decodes():
 def test_scale_crop_frames_cover_semantics():
     from avid_cma_tpu.data.decode import scale_crop_frames
 
-    rng = np.random.default_rng(0)
-    frames = rng.integers(0, 255, (3, 90, 160, 3), dtype=np.uint8)
+    # channel 0 = horizontal coordinate ramp (x: 0..159): geometry probe
+    xx = np.broadcast_to(np.arange(160, dtype=np.uint8), (90, 160))
+    frames = np.stack([np.stack([xx, xx, xx], axis=-1)] * 3)
     out = scale_crop_frames(frames, (64, 64))
     assert out.shape == (3, 64, 64, 3) and out.dtype == np.uint8
-    # cover scale: the SHORT side (90) maps to >= 64 with aspect kept,
-    # so the crop samples the horizontal center of the frame
+    # cover scale + CENTER crop: scale=max(64/90,64/160)=64/90, so the
+    # visible horizontal field is the central 90 of 160 source columns
+    # (x in [35, 125]). A squash resize would span 0..159; a top-left
+    # crop would span 0..90.
+    ramp = out[0, 32, :, 0].astype(np.int32)
+    assert 30 <= ramp.min() <= 40, ramp.min()
+    assert 120 <= ramp.max() <= 130, ramp.max()
+    assert (np.diff(ramp) >= 0).all()  # still a monotone ramp
     up = scale_crop_frames(frames, (128, 200))  # upscale path
     assert up.shape == (3, 128, 200, 3)
     # no-op when already at size

@@ -37,10 +37,13 @@ def test_fps_grid_handles_jittered_timestamps():
     times = np.sort(rng.uniform(0, 1, size=24))
     idx = fps_grid_indices(times, start=0.0, n_target=16, fps=16.0)
     want = np.asarray(0.0) + np.arange(16) / 16.0
+    assert (np.diff(idx) >= 0).all()
     for k, i in enumerate(idx):
-        assert times[i] <= want[k] or i == 0
+        # latest frame at-or-before the grid point; index 0 is exempt
+        # ONLY when the stream starts after the grid point (clamping)
+        assert times[i] <= want[k] or (i == 0 and times[0] > want[k])
         if i + 1 < len(times):
-            assert times[i + 1] > want[k] or i == 0
+            assert times[i + 1] > want[k]
 
 
 def test_trim_pad_audio_trims_seek_leadin():

@@ -98,6 +98,9 @@ def test_finetune_warmup_checkpoint_and_resume(tmp_path):
     )
     warm_dir = os.path.join(eval_dir, "orbax_warmup")
     assert os.path.isdir(warm_dir) and os.listdir(warm_dir)
+    from avid_cma_tpu.train.checkpoint import CheckpointManager
+
+    warm_step_before = CheckpointManager(warm_dir).latest_step()
 
     # simulate preemption after warmup but before any finetune save
     shutil.rmtree(os.path.join(eval_dir, "orbax"))
@@ -106,9 +109,11 @@ def test_finetune_warmup_checkpoint_and_resume(tmp_path):
     results = run_action_recognition(ecfg2, mcfg, fold=1, debug=True)
     assert np.isfinite(results["clip@1"])
     # the restored warmup state was at its final epoch: the warmup loop
-    # must NOT have rerun (its checkpoint step is unchanged)
+    # must NOT have rerun — its checkpoint step is UNCHANGED (a rerun
+    # would save a later step), and the log records the restore
     log = open(os.path.join(eval_dir, "eval.log")).read()
     assert "restored warmup checkpoint" in log
+    assert CheckpointManager(warm_dir).latest_step() == warm_step_before
 
 
 def test_linear_probe_multi_tap(tmp_path):

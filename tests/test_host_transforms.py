@@ -23,8 +23,23 @@ def test_center_and_random_crop():
 
 
 def test_random_resized_crop_clip_consistent():
-    out = ht.RandomResizedCrop(24)(_clip())
+    """ONE crop window per clip (reference: RandomResizedCrop samples its
+    box once, video_transforms.py:373-382) — per-frame windows are the
+    classic video-aug bug. Channel 0 carries an injective coordinate
+    ramp: identical post-crop ramps across frames iff every frame used
+    the same window. Channel 1 tags the frame index to catch frame
+    mixing."""
+    yy, xx = np.mgrid[0:48, 0:64]
+    ramp = (4 * yy + xx).astype(np.uint8)  # max 251, no wraparound
+    clip = np.stack([
+        np.stack([ramp, np.full_like(ramp, 30 * i), ramp], axis=-1)
+        for i in range(4)
+    ])
+    out = ht.RandomResizedCrop(24)(clip)
     assert out.shape == (4, 24, 24, 3)
+    for i in range(1, 4):
+        np.testing.assert_array_equal(out[i, ..., 0], out[0, ..., 0])
+        assert (out[i, ..., 1] == 30 * i).all()
 
 
 def test_flip_and_gray():

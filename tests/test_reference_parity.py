@@ -76,9 +76,10 @@ def test_avid_loss_and_bank_parity(torch_cpu_reference):
     with torch.no_grad():
         crit.nce_average.view1_mem.copy_(torch.from_numpy(bank_v))
         crit.nce_average.view2_mem.copy_(torch.from_numpy(bank_a))
-    # pin the negative draw to our fixed indices (alias draw is RNG-driven;
-    # sample_negatives then applies the self-avoid shift, so invert it)
-    shift_removed = neg_idx - (neg_idx >= y[:, None])
+    # pin the negative draw to our fixed indices. The reference applies
+    # its self-avoid shift INSIDE sample_negatives (criterions/avid.py:
+    # 82-85) and the caller applies no further shift, so replacing the
+    # whole method with the final indices is the correct seam.
     crit.nce_average.sample_negatives = (
         lambda yy, KK: torch.from_numpy(neg_idx)
     )

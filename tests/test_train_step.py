@@ -98,6 +98,11 @@ def test_batch_stats_stay_replicated(mesh):
     state = init_train_state(jax.random.key(3), model, batch, opt, cfg)
     step = make_train_step(model, cfg, opt, mesh, donate=False)
     state1, _ = step(state, batch)
-    # carried batch_stats are a single (replicated) pytree with finite values
+    # the carried batch_stats must be REPLICATED (the step pmean's the
+    # per-replica BN stats): every device's shard holds identical values
     for leaf in jax.tree.leaves(state1.batch_stats):
         assert np.all(np.isfinite(np.asarray(leaf)))
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        assert len(shards) == mesh.size  # fully replicated over the mesh
+        for s in shards[1:]:
+            np.testing.assert_array_equal(s, shards[0])

@@ -189,13 +189,19 @@ def test_training_trajectory_parity(stacks):
     np.testing.assert_allclose(
         float(bank.z), float(crit.criterion.avg_exp_score), rtol=1e-4
     )
-    # banks evolved together: untouched rows identical; the ~2B rows
-    # EMA'd each step carry the compounded embedding drift (single-step
-    # bank parity is pinned to 1e-4 in test_reference_parity.py)
+    # banks evolved together. Untouched rows must be EXACT (any drift
+    # there means the EMA scatter wrote rows it shouldn't); the rows
+    # EMA'd each step carry the compounded embedding drift and get the
+    # loose bound (single-step bank parity is pinned to 1e-4 in
+    # test_reference_parity.py).
+    ours_bank = np.asarray(bank.view1_mem)
+    ref_bank = crit.nce_average.view1_mem.detach().numpy()
+    touched = np.unique(np.concatenate([ys[0], ys[1]]))
+    untouched = np.setdiff1d(np.arange(N), touched)
+    np.testing.assert_array_equal(ours_bank[untouched], bank_v[untouched])
+    np.testing.assert_array_equal(ref_bank[untouched], bank_v[untouched])
     np.testing.assert_allclose(
-        np.asarray(bank.view1_mem),
-        crit.nce_average.view1_mem.detach().numpy(),
-        rtol=1e-3, atol=5e-2,
+        ours_bank[touched], ref_bank[touched], rtol=1e-3, atol=5e-2,
     )
     # final stem weights agree within the total Adam step budget
     # (STEPS*lr): Adam normalizes gradients to +-lr, so weights whose
