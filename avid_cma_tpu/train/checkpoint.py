@@ -516,10 +516,20 @@ class CheckpointManager:
                 should_keep_fn=lambda step: step in self._milestones,
             ),
         )
+        # steps with an async write possibly still in flight (all_steps()
+        # only lists committed ones)
+        self._requested_steps: set = set()
 
     def save(
-        self, step: int, state, force: bool = False, milestone: bool = False
+        self, step: int, state, force: bool = False, milestone: bool = False,
+        wait: bool = False,
     ) -> bool:
+        """ASYNC by default: orbax blocks only until the device->host
+        copy completes (so donated state buffers may be reused by the
+        next train step immediately), then serializes to disk in a
+        background thread — a mid-epoch preemption-safe save no longer
+        stalls the train loop for the full write. `wait=True` (or
+        wait_until_finished()) blocks until the bytes are durable."""
         import orbax.checkpoint as ocp
 
         if milestone:
@@ -532,18 +542,30 @@ class CheckpointManager:
                 with open(tmp, "w") as f:
                     f.write("\n".join(str(s) for s in sorted(self._milestones)))
                 os.replace(tmp, self._milestones_path)
-        if int(step) in set(self._mgr.all_steps()):
-            # already written — e.g. a save_freq_steps save landing exactly
-            # on the epoch boundary. Re-saving under force=True raises
-            # StepAlreadyExistsError (orbax raises regardless of force);
-            # the milestone flag is recorded above and retention consults
-            # the live set, so the existing checkpoint is kept.
+        if (int(step) in self._requested_steps
+                or int(step) in set(self._mgr.all_steps())):
+            # already written (or an async write is in flight) — e.g. a
+            # save_freq_steps save landing exactly on the epoch boundary.
+            # Re-saving raises StepAlreadyExistsError (orbax raises
+            # regardless of force); the milestone flag is recorded above
+            # and retention consults the live set, so the existing
+            # checkpoint is kept.
+            if wait:
+                self._mgr.wait_until_finished()
             return True
         saved = self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force or milestone
         )
-        self._mgr.wait_until_finished()
+        self._requested_steps.add(int(step))
+        if wait:
+            self._mgr.wait_until_finished()
         return saved
+
+    def wait_until_finished(self) -> None:
+        """Block until every in-flight async save is durable on disk —
+        call before process exit or before handing the directory to a
+        reader."""
+        self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -551,6 +573,7 @@ class CheckpointManager:
     def restore(self, state_template, step: Optional[int] = None):
         import orbax.checkpoint as ocp
 
+        self._mgr.wait_until_finished()  # a pending write may be `step`
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None
@@ -561,6 +584,7 @@ class CheckpointManager:
     def restore_raw(self, step: Optional[int] = None):
         """Restore without a template (raw nested dict) — for extracting
         sub-trees like a pretrained backbone's params."""
+        self._mgr.wait_until_finished()
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None

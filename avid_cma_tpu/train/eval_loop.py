@@ -460,6 +460,7 @@ def run_action_recognition(
             logger, phase="warmup", debug=debug, mesh=mesh,
             start_epoch=warm_start, on_epoch_end=on_warmup_epoch_end,
         )
+        warm_ckpt.wait_until_finished()  # async saves durable
 
     if not restored:
         state = state.replace(
@@ -513,6 +514,9 @@ def run_action_recognition(
         )
         results.update({"video@1": video_top1, "video@5": video_top5})
     logger.add_line(f"RESULTS {results}")
+    # saves are async; all managers durable before returning
+    ckpt.wait_until_finished()
+    best_ckpt.wait_until_finished()
     return results
 
 
@@ -911,4 +915,5 @@ def run_linear_probe(
             results[ft]["video@5"] = top5
 
     logger.add_line(f"RESULTS {results}")
+    ckpt.wait_until_finished()  # async saves durable before returning
     return results

@@ -372,6 +372,7 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
             f"profiler: trace written to {model_dir}/profile "
             "(run ended inside the window)"
         )
+    ckpt.wait_until_finished()  # saves are async; be durable before return
     return state
 
 
