@@ -18,8 +18,6 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-EPS = 1e-7  # torch.log of float32 denormals never hits exactly 0 in the
-# reference; we guard anyway since bf16 exp can underflow.
 
 
 def resolve_partition(
@@ -53,15 +51,15 @@ def nce_loss(
     z: frozen partition function (scalar)
     """
     K = scores_neg.shape[1]
-    exp_pos = jnp.exp(scores_pos)
-    exp_neg = jnp.exp(scores_neg)
-
-    kz = K * z
-    # eq 5.1: P(origin=model) = Pmt / (Pmt + K*Z)
-    p_model = exp_pos / (exp_pos + kz)
-    ln_pmt = -jnp.log(jnp.maximum(p_model, EPS)).mean(axis=-1)
-    # eq 5.2: P(origin=noise) = K*Z / (Pns + K*Z)
-    p_noise = kz / (exp_neg + kz)
-    ln_pon = -jnp.log(jnp.maximum(p_noise, EPS)).sum(axis=-1)
+    log_kz = jnp.log(K * z)
+    # log-space forms of the reference's eq 5.1/5.2 — exact in real
+    # arithmetic and stable where the direct ratios are not: the
+    # reference's -log(exp_pos/(exp_pos+KZ)) underflows/clamps for
+    # strongly anti-aligned positives (exp(score/T) ~ 1e-9), losing the
+    # gradient on exactly the hardest examples.
+    #   -log P(origin=model) = softplus(log(KZ) - s_pos)
+    #   -log P(origin=noise) = softplus(s_neg - log(KZ))
+    ln_pmt = jax.nn.softplus(log_kz - scores_pos).mean(axis=-1)
+    ln_pon = jax.nn.softplus(scores_neg - log_kz).sum(axis=-1)
 
     return (ln_pmt + ln_pon).mean()

@@ -98,15 +98,21 @@ def _crop_resize_clip(
     (static output shape, dynamic box)."""
     t, h, w, c = clip.shape
     oh, ow = out_size
-    scale_y = oh / crop_h
-    scale_x = ow / crop_w
-    translation = jnp.stack([-top * scale_y, -left * scale_x])
+    # geometry stays f32: translations reach O(h * scale) ~ 1e3 where the
+    # bf16 ulp is 4-8 — casting them to the compute dtype would quantize
+    # the crop origin by whole pixels, collapsing sub-pixel crop
+    # diversity. Only the IMAGE (the HBM traffic) is cast.
+    scale_y = (oh / crop_h).astype(jnp.float32)
+    scale_x = (ow / crop_w).astype(jnp.float32)
+    translation = jnp.stack(
+        [-top * scale_y, -left * scale_x]
+    ).astype(jnp.float32)
     return jax.image.scale_and_translate(
         clip.astype(dtype),
         shape=(t, oh, ow, c),
         spatial_dims=(1, 2),
-        scale=jnp.stack([scale_y, scale_x]).astype(dtype),
-        translation=translation.astype(dtype),
+        scale=jnp.stack([scale_y, scale_x]),
+        translation=translation,
         method="bilinear",
     )
 
@@ -249,9 +255,14 @@ def augment_clips_eval(
     (preprocessing.py:40-43)."""
     b, t, h, w, c = frames.shape
     resize = resize if resize is not None else int(crop_size / 0.875)
-    short = min(h, w)
-    scale = resize / short
-    nh, nw = int(round(h * scale)), int(round(w * scale))
+    # reference truncation: the long side is int(size * long / short)
+    # (get_resize_sizes, videotransforms/functional.py:69) — round()
+    # lands one pixel larger for ~half of all aspect ratios and shifts
+    # the center crop by a row/column vs the reference
+    if w < h:
+        nw, nh = resize, int(resize * h / w)
+    else:
+        nh, nw = resize, int(resize * w / h)
     out = jax.image.resize(
         frames.astype(dtype), (b, t, nh, nw, c), method="bilinear"
     )

@@ -70,3 +70,20 @@ def test_nce_gradient_flows_through_positives_and_negatives(rng):
     )
     assert np.all(np.isfinite(np.asarray(gp))) and np.any(np.asarray(gp) != 0)
     assert np.all(np.isfinite(np.asarray(gn))) and np.any(np.asarray(gn) != 0)
+
+
+def test_nce_stable_for_hard_positives():
+    """A strongly anti-aligned positive (exp(score/T) ~ 1e-13) must keep
+    a finite loss AND a live gradient — the direct-ratio form underflows
+    to a clamp there, silently freezing learning on the hardest pairs.
+    In the well-conditioned regime the log-space form matches the direct
+    formula (test_nce_matches_closed_form); here only log-space survives."""
+    sp = jnp.asarray([[-30.0]], jnp.float32)  # score/T for cosine ~ -1, T=0.07/2
+    sn = jnp.asarray([[0.0, 1.0]], jnp.float32)
+    z = jnp.float32(1.0)
+    loss, grad = jax.value_and_grad(
+        lambda s: nce_loss(s, sn, z)
+    )(sp)
+    # exact: softplus(log(2) + 30) ~ 30.69, and dL/ds_pos ~ -1
+    assert np.isfinite(float(loss)) and float(loss) > 25.0
+    assert float(grad[0, 0]) < -0.99
