@@ -13,7 +13,7 @@ transition — `resolve_partition` returns the Z to use this step and the
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Capability reference: utils/eval_utils.py:193-242,298-329.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,7 @@ frame block (~824 KB for the Kinetics recipe, well inside VMEM).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -40,7 +40,6 @@ be even (true for every reference recipe: 224 -> stem 112, 112 -> 56).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ psum, bank all_gathers) ride ICI/DCN exactly as single-host.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

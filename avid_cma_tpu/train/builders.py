@@ -8,9 +8,8 @@ so the reference configs run unchanged.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
-import jax.numpy as jnp
 
 from avid_cma_tpu.config import Config
 import avid_cma_tpu.criterions  # noqa: F401  (populates CRITERIONS)

@@ -14,7 +14,6 @@ psum — the reference does an all_gather per meter).
 from __future__ import annotations
 
 import os
-import sys
 from collections import deque
 from typing import Dict, Iterable, Optional
 

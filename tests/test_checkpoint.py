@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from avid_cma_tpu.criterions.avid import BankState, init_bank_state
+from avid_cma_tpu.criterions.avid import init_bank_state
 from avid_cma_tpu.models import av_wrapper
 from avid_cma_tpu.train.checkpoint import (
     export_pth_tar,

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from avid_cma_tpu.criterions.avid import init_bank_state, l2_normalize
+from avid_cma_tpu.criterions.avid import init_bank_state
 from avid_cma_tpu.criterions.avid_cma import (
     AVIDCMAConfig,
     cma_forward,

@@ -17,7 +17,6 @@ as actual media; these tests deliberately do not require that.
 """
 
 import fractions
-import json
 import os
 import stat
 import sys

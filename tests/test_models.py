@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from avid_cma_tpu.models import AVWrapper, Conv2D, R2Plus1D, av_wrapper
+from avid_cma_tpu.models import Conv2D, R2Plus1D, av_wrapper
 
 
 def _init(model, *args, **kwargs):

@@ -17,7 +17,6 @@ import subprocess
 import sys
 
 import numpy as np
-import pytest
 
 WORKER = r"""
 import json, os, sys

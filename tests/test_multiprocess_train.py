@@ -25,7 +25,6 @@ import subprocess
 import sys
 
 import numpy as np
-import pytest
 
 STEP_WORKER = r"""
 import json, sys

@@ -4,7 +4,7 @@ criterions/nce.py:38-58) and Z-freeze semantics (nce.py:21-36)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from avid_cma_tpu.criterions.nce import nce_loss, resolve_partition
 
