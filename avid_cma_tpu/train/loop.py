@@ -71,6 +71,7 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
 
     model_dir = os.path.join(cfg.model["model_dir"], cfg.model["name"])
     logger = Logger(path=os.path.join(model_dir, "train.log"),
+                    quiet=bool(cfg.get("quiet")),
                     rank=jax.process_index())
     tb = TensorBoardWriter(
         os.path.join(model_dir, "tb"),

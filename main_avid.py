@@ -21,6 +21,10 @@ def parse_args():
     p.add_argument("cfg", help="YAML config (reference schema)")
     p.add_argument("--debug", action="store_true",
                    help="tiny batch, 1 worker, 2 epochs (reference --debug)")
+    p.add_argument("--quiet", action="store_true",
+                   help="suppress stdout/file logging (reference --quiet)")
+    p.add_argument("--seed", type=int, default=None,
+                   help="override the config seed (reference --seed)")
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    metavar="KEY=VALUE", help="dotted config overrides")
     p.add_argument("--multihost", action="store_true",
@@ -32,7 +36,12 @@ def main():
     args = parse_args()
     if args.multihost:
         initialize_multihost(required=True)
-    cfg = config_lib.load(args.cfg, overrides=args.overrides)
+    overrides = list(args.overrides)
+    if args.quiet:
+        overrides.append("quiet=true")
+    if args.seed is not None:
+        overrides.append(f"seed={args.seed}")
+    cfg = config_lib.load(args.cfg, overrides=overrides)
 
     from avid_cma_tpu.train.loop import run_pretraining
 

@@ -72,7 +72,7 @@ def _model_yaml(tmp_path, name="cli-smoke"):
 def test_main_avid_cli(tmp_path):
     """`python main_avid.py <cfg> --debug --set k=v` trains and checkpoints."""
     cfg_path = _model_yaml(tmp_path)
-    r = _run(["main_avid.py", cfg_path, "--debug",
+    r = _run(["main_avid.py", cfg_path, "--debug", "--seed", "3",
               "--set", "model.name=cli-override"])
     assert r.returncode == 0, r.stderr[-4000:]
     # --set reached the loop: run dir uses the overridden name
@@ -81,8 +81,24 @@ def test_main_avid_cli(tmp_path):
     assert glob.glob(os.path.join(run_dir, "orbax", "*")), (
         "no orbax checkpoint written")
     assert os.path.isfile(os.path.join(run_dir, "train.log"))
+    # --seed overrode the config seed (reference main-avid.py:37)
+    with open(os.path.join(run_dir, "train.log")) as f:
+        assert "seed=3" in f.read()
     # resolved config dumped for scripts/checkpoints.py export
     assert os.path.isfile(os.path.join(run_dir, "config.yaml"))
+
+
+def test_main_avid_cli_flags_parse():
+    """--quiet/--seed parse (reference main-avid.py:27,37); no training."""
+    import main_avid
+
+    old = sys.argv
+    try:
+        sys.argv = ["main_avid.py", "cfg.yaml", "--quiet", "--seed", "11"]
+        args = main_avid.parse_args()
+    finally:
+        sys.argv = old
+    assert args.quiet and args.seed == 11
 
 
 def test_eval_action_recg_cli(tmp_path):
