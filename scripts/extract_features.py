@@ -21,6 +21,12 @@ checkpoint (`checkpoint.pth.tar` or orbax/). Conv taps are reduced to
 vectors with AdaptiveMaxPool3d(1) (the backbone's own head pooling);
 `pool` is already a vector. Dense ('video' mode) splits are averaged
 over their uniformly spaced clips, matching the dense-eval protocol.
+
+`--space nce` switches to the L2-normalized projection-head embeddings
+of BOTH modalities — the aligned 128-d space the memory banks are built
+in (reference criterions/avid.py:47-56) and the space cross-modal
+retrieval (video->audio / audio->video) operates in. Requires a dataset
+that returns audio (Kinetics/AudioSet, not UCF/HMDB).
 """
 
 from __future__ import annotations
@@ -42,6 +48,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="dataset split block to read (train/test/...)")
     p.add_argument("--taps", nargs="+", default=["pool"],
                    help="backbone taps: conv1 conv2x..conv5x pool")
+    p.add_argument("--space", choices=["taps", "nce"], default="taps",
+                   help="'taps': video-backbone intermediate taps; "
+                        "'nce': the L2-normalized projection-head "
+                        "embeddings of BOTH modalities — the aligned "
+                        "space the memory banks live in (cross-modal "
+                        "retrieval)")
     p.add_argument("--out", required=True, help="output .npz path")
     p.add_argument("--fold", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None,
@@ -52,12 +64,40 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+def _load_full_model(model_cfg):
+    """Full pretrained AVWrapper (backbones + projection heads) + its
+    imported variables, from .pth.tar or a framework orbax run."""
+    from avid_cma_tpu.registry import MODELS
+    from avid_cma_tpu.train.checkpoint import import_model_pth_tar
+
+    model = MODELS.get(model_cfg["arch"])(**dict(model_cfg["args"]))
+    base = os.path.join(model_cfg["model_dir"], model_cfg["name"])
+    pth = os.path.join(base, "checkpoint.pth.tar")
+    orbax_dir = os.path.join(base, "orbax")
+    if os.path.isfile(pth):
+        return model, import_model_pth_tar(pth)
+    if os.path.isdir(orbax_dir):
+        from avid_cma_tpu.train.checkpoint import CheckpointManager
+
+        raw = CheckpointManager(orbax_dir).restore_raw()
+        if raw is not None:
+            return model, {
+                "params": raw["params"],
+                "batch_stats": raw.get("batch_stats") or {},
+            }
+    return model, None
+
+
 def extract_features(
     data_cfg, model_cfg, split: str = "test", taps=("pool",),
-    fold=None, batch_size=None, max_items=None, num_workers: int = 4,
+    space: str = "taps", fold=None, batch_size=None, max_items=None,
+    num_workers: int = 4,
 ):
-    """Returns {tap: (N, D) float32}, labels (N,) int64 or None, and the
-    per-item dataset indices (N,) actually extracted."""
+    """Returns {name: (N, D) float32}, labels (N,) int64 or None, and the
+    per-item dataset indices (N,) actually extracted. space='taps':
+    names are video-backbone taps; space='nce': names are
+    'video'/'audio', the L2-normalized head embeddings (the space the
+    memory banks are built in, reference criterions/avid.py:47-56)."""
     import jax
     import jax.numpy as jnp
 
@@ -67,33 +107,60 @@ def extract_features(
     from avid_cma_tpu.train import builders
     from avid_cma_tpu.train.eval_loop import _load_backbone
 
+    nce = space == "nce"
     db = data_cfg.dataset
     split_cfg = db[split]
     has_labels = db["name"] not in ("audioset",)
     ds = builders.build_dataset(
-        db, split_cfg, return_audio=False, return_labels=has_labels,
+        db, split_cfg, return_audio=nce, return_labels=has_labels,
         fold=fold,
     )
-    backbone, variables = _load_backbone(model_cfg)
+    if nce:
+        backbone, variables = _load_full_model(model_cfg)
+    else:
+        backbone, variables = _load_backbone(model_cfg)
     if variables is None:
         raise FileNotFoundError(
             "no checkpoint.pth.tar or orbax/ under "
             f"{os.path.join(model_cfg['model_dir'], model_cfg['name'])}"
         )
     pp_cfg = builders.build_preprocess_config(db)
-    taps = list(taps)
+    taps = ["video", "audio"] if nce else list(taps)
+
+    def _flatten_clips(x):
+        """(B, clips, ...) -> (B*clips, ...) or passthrough; returns
+        (x, dense, b, k)."""
+        dense = x.ndim >= 3 and split_cfg.get("mode", "clip") == "video"
+        if dense:
+            b, k = x.shape[:2]
+            return x.reshape((b * k,) + x.shape[2:]), True, b, k
+        return x, False, x.shape[0], 1
 
     @jax.jit
-    def embed(variables, frames):
-        dense = frames.ndim == 6  # (B, clips, T, H, W, C)
-        if dense:
-            b, k = frames.shape[:2]
-            frames = frames.reshape((b * k,) + frames.shape[2:])
-        x = preprocess_batch(
-            jax.random.key(0), {"frames": frames}, pp_cfg, train=False
-        )["frames"]
-        embs = backbone.apply(variables, x, train=False, return_embs=True)
+    def embed(variables, frames, audio=None):
+        frames, dense, b, k = _flatten_clips(frames)
+        raw = {"frames": frames}
+        if nce:
+            a, _, _, _ = _flatten_clips(audio)
+            raw["audio"] = a
+        pp = preprocess_batch(jax.random.key(0), raw, pp_cfg, train=False)
         out = {}
+        if nce:
+            v_emb, a_emb = backbone.apply(
+                variables, pp["frames"], pp["audio"], train=False
+            )
+            for t, e in (("video", v_emb), ("audio", a_emb)):
+                e = e.astype(jnp.float32)
+                e = e / jnp.maximum(
+                    jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12
+                )
+                if dense:
+                    e = e.reshape(b, k, -1).mean(axis=1)
+                out[t] = e
+            return out
+        embs = backbone.apply(
+            variables, pp["frames"], train=False, return_embs=True
+        )
         for t in taps:
             e = embs[t]
             if e.ndim > 2:  # conv tap (B', T, H, W, C) -> (B', C)
@@ -118,7 +185,11 @@ def extract_features(
     labels, indices = [], []
     seen = 0
     for batch in loader:
-        out = embed(variables, np.asarray(batch["frames"]))
+        if nce:
+            out = embed(variables, np.asarray(batch["frames"]),
+                        np.asarray(batch["audio"]))
+        else:
+            out = embed(variables, np.asarray(batch["frames"]))
         for t in taps:
             feats[t].append(np.asarray(out[t]))
         if "label" in batch:
@@ -146,7 +217,7 @@ def main(argv=None) -> int:
     model_cfg = config_lib.load(args.model_cfg).model
     feats, labels, indices = extract_features(
         data_cfg, model_cfg, split=args.split, taps=args.taps,
-        fold=args.fold, batch_size=args.batch_size,
+        space=args.space, fold=args.fold, batch_size=args.batch_size,
         max_items=args.max_items, num_workers=args.num_workers,
     )
     payload = {f"feat_{t}": v for t, v in feats.items()}

@@ -89,6 +89,45 @@ def test_extract_features_cli_clip_mode(tmp_path):
     assert not np.allclose(z["feat_pool"][0], z["feat_pool"][1])
 
 
+def test_extract_features_nce_space(tmp_path):
+    """--space nce: L2-normalized projection-head embeddings of both
+    modalities (the memory-bank space, reference criterions/avid.py:47-56)
+    on an audio-bearing dataset."""
+    from avid_cma_tpu import config as config_lib
+    from scripts.extract_features import extract_features
+
+    _fabricate_checkpoint(str(tmp_path))
+    data = {
+        "dataset": {
+            "name": "kinetics", "backend": "synthetic",
+            "synthetic_size": 8, "batch_size": 4,
+            "video_clip_duration": 0.25, "video_fps": 8.0,
+            "crop_size": 32, "audio_clip_duration": 0.5,
+            "audio_fps": 24000, "n_fft": 512, "spectrogram_fps": 100.0,
+            "test": {"split": "test", "mode": "clip", "clips_per_video": 1,
+                     "use_augmentation": False, "use_shuffle": False,
+                     "drop_last": False},
+        },
+    }
+    _, mpath = _write_cfgs(tmp_path, dense=False)
+    dpath = tmp_path / "data_kinetics.yaml"
+    dpath.write_text(yaml.safe_dump(data))
+    data_cfg = config_lib.load(str(dpath))
+    model_cfg = config_lib.load(mpath).model
+    feats, labels, indices = extract_features(
+        data_cfg, model_cfg, split="test", space="nce",
+        max_items=4, num_workers=1,
+    )
+    assert set(feats) == {"video", "audio"}
+    assert feats["video"].shape == (4, 32)  # proj_dim tail
+    assert feats["audio"].shape == (4, 32)
+    for m in ("video", "audio"):
+        np.testing.assert_allclose(
+            np.linalg.norm(feats[m], axis=-1), 1.0, rtol=1e-4
+        )
+    assert not np.allclose(feats["video"][0], feats["video"][1])
+
+
 def test_extract_features_dense_video_mode(tmp_path):
     """'video' mode items carry (clips, T, H, W, C); embeddings are the
     mean over the uniformly spaced clips (dense-eval protocol)."""
