@@ -177,9 +177,12 @@ def extract_features(
     is_dense = split_cfg.get("mode", "clip") == "video"
     if is_dense:
         bs = 1  # one video per row; clips fill the device batch
+    # under multi-host init each process extracts its round-robin shard
+    # (write per-process output paths; there is no cross-process merge)
     loader = DataLoader(
         ds, batch_size=bs, shuffle=False, drop_last=False,
         num_workers=max(num_workers, 1),
+        num_shards=jax.process_count(), shard_index=jax.process_index(),
     )
     feats = {t: [] for t in taps}
     labels, indices = [], []
