@@ -211,17 +211,23 @@ def _topk_counts(logits: np.ndarray, labels: np.ndarray,
 # orchestration
 # ---------------------------------------------------------------------------
 
-def _load_backbone(model_cfg: Config, which: str = "video_model"):
+def _load_backbone(model_cfg: Config, which: str = "video_model",
+                   weights: bool = True):
     """Pretrained backbone + its imported variables
     (reference: utils/eval_utils.py:332-344). Looks for a reference-format
     .pth.tar first, then for this framework's own orbax pretrain
-    checkpoints (run_pretraining output)."""
+    checkpoints (run_pretraining output). `weights=False` skips the
+    checkpoint read entirely and returns (backbone, None) — for callers
+    that only need the architecture (e.g. scripts/classify.py, whose
+    weights come from the finetuned checkpoint)."""
     from avid_cma_tpu.registry import MODELS
 
     args = model_cfg["args"]
     backbone = MODELS.get(args["video_backbone"])(**dict(args["video_backbone_args"]))
-    base = os.path.join(model_cfg["model_dir"], model_cfg["name"])
     variables = None
+    if not weights:
+        return backbone, variables
+    base = os.path.join(model_cfg["model_dir"], model_cfg["name"])
 
     pth = os.path.join(base, "checkpoint.pth.tar")
     orbax_dir = os.path.join(base, "orbax")

@@ -31,10 +31,10 @@ from avid_cma_tpu.criterions import (
 )
 from avid_cma_tpu.criterions.avid import BankState
 from avid_cma_tpu.data.pipelines import preprocess_batch
+from avid_cma_tpu.data.prefetch import device_prefetch
 from avid_cma_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from avid_cma_tpu.parallel.multihost import (
     distribute_tree,
-    global_batch,
     is_multiprocess,
 )
 from avid_cma_tpu.train import builders
@@ -288,7 +288,11 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
             pending_losses.clear()
 
         t0 = time.time()
-        for it, batch in enumerate(loader, start=start_it):
+        # device_prefetch: batches arrive already row-sharded on the mesh,
+        # their H2D DMA overlapped with the previous step's compute
+        # (reference: pinned-memory .cuda(non_blocking), main-avid.py:161)
+        for it, batch in enumerate(device_prefetch(loader, mesh),
+                                   start=start_it):
             if it - start_it < skip_batches:  # discard fallback for
                 t0 = time.time()              # loaders without set_start_batch
                 continue
@@ -304,8 +308,7 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
                 profiling.start_trace(os.path.join(model_dir, "profile"))
                 profiling_active = True
                 logger.add_line(f"profiler: tracing steps {profile_window}")
-            state, metrics = train_step(state, global_batch(batch, mesh),
-                                        host_step)
+            state, metrics = train_step(state, batch, host_step)
             pending_losses.append((metrics["loss"], batch["index"].shape[0]))
             host_step += 1
             if profiling_active and host_step >= profile_window[1]:
@@ -356,13 +359,18 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
                     bank_sharding=bank_sharding,
                 )
             test_loader.set_epoch(epoch)
-            losses = []
-            for it, batch in enumerate(test_loader):
-                m = eval_step(state, global_batch(batch, mesh), it)
-                losses.append(float(m["loss"]))
+            # buffer per-batch losses as DEVICE arrays and drain once at
+            # the end — float() per batch would serialize host dispatch
+            # against device compute, the exact pattern the train loop's
+            # buffered drain exists to avoid (see pending_losses above)
+            pending = []
+            for it, batch in enumerate(device_prefetch(test_loader, mesh)):
+                m = eval_step(state, batch, it)
+                pending.append(m["loss"])
                 if debug and it >= 1:
                     break
-            if losses:
+            if pending:
+                losses = [float(x) for x in pending]  # one sync point
                 test_loss = sum(losses) / len(losses)
                 logger.add_line(f"test[{epoch}] loss {test_loss:.4e}")
                 tb.add_scalar("test/loss", test_loss, int(state.step))

@@ -172,6 +172,129 @@ def measure(batch, crop, frames, steps, windows, dtype, dtype_name):
     }
 
 
+def measure_pipeline(batch, crop, frames, windows, dtype, dtype_name,
+                     workers, loader_kind, batches_per_epoch=8) -> dict:
+    """End-to-end input pipeline throughput: production loader (synthetic
+    decode at the raw decode size) -> device_prefetch (async H2D) ->
+    fused train step. Sustained clips/s/chip INCLUDING host decode,
+    collate, and transfers — the half of the perf story the device-only
+    headline (measure) excludes; the reference pays this with 36-72
+    DataLoader worker processes (utils/main_utils.py:138-228).
+
+    Also reports the components: loader-only drain rate (host ceiling),
+    single-thread decode ms/clip (worker budget), and the H2D-inclusive
+    device rate with resident host batches (transfer ceiling: what the
+    pipeline would sustain with an infinitely fast host).
+    """
+    from avid_cma_tpu.config import Config
+    from avid_cma_tpu.criterions import AVIDConfig
+    from avid_cma_tpu.data.pipelines import PreprocessConfig, preprocess_batch
+    from avid_cma_tpu.data.prefetch import device_prefetch
+    from avid_cma_tpu.models import av_wrapper
+    from avid_cma_tpu.parallel.mesh import make_mesh
+    from avid_cma_tpu.train import builders
+    from avid_cma_tpu.train.optim import build_optimizer, multistep_schedule
+    from avid_cma_tpu.train.step import init_train_state, make_fused_train_step
+
+    n_items = batch * batches_per_epoch
+    db = Config({
+        "name": "kinetics", "backend": "synthetic",
+        "synthetic_size": n_items, "batch_size": batch,
+        "video_clip_duration": frames / 16.0, "video_fps": 16.0,
+        "crop_size": crop, "audio_clip_duration": 2.0,
+        "audio_fps": 24000.0, "spectrogram_fps": 100.0, "n_fft": 512,
+        # raw decode size: same 8/7-cover scale the device bench uses
+        "decode_size": [int(crop * 8 / 7), int(crop * 10 / 7)],
+        "train": {"split": "train", "use_augmentation": True,
+                  "drop_last": True, "clips_per_video": 1},
+    })
+    ds = builders.build_dataset(db, db.train, mode="clip")
+    loader = builders.build_dataloader(
+        ds, db, db.train, num_workers=workers, kind=loader_kind
+    )
+
+    # single-thread decode budget (ms per clip, decode + snippet sample)
+    t0 = time.perf_counter()
+    n_probe = 8
+    for i in range(n_probe):
+        ds[i]
+    decode_ms = (time.perf_counter() - t0) / n_probe * 1e3
+
+    # loader-only drain: the host-side ceiling at this worker count
+    loader.set_epoch(0)
+    t0 = time.perf_counter()
+    n_drained = sum(b["index"].shape[0] for b in loader)
+    loader_rate = n_drained / (time.perf_counter() - t0)
+
+    mesh = make_mesh()
+    model = av_wrapper(
+        video_backbone="R2Plus1D", video_backbone_args={"depth": 18},
+        audio_backbone="Conv2D", audio_backbone_args={"depth": 10},
+        proj_dim=[512, 512, 128], dtype=dtype,
+    )
+    cfg = AVIDConfig(num_data=232067, embedding_dim=128,
+                     num_negatives=1024, momentum=0.5)
+    pp = PreprocessConfig(crop_size=crop, audio_fps=24000, n_fft=512,
+                          spectrogram_fps=100.0, audio_clip_duration=2.0)
+    opt = build_optimizer("adam", multistep_schedule(2e-4, [10], 1.0, 1000),
+                          weight_decay=1e-5)
+    key = jax.random.key(0)
+    loader.set_epoch(1)
+    first = next(iter(loader))
+    sample = preprocess_batch(key, first, pp, train=True)
+    state = init_train_state(key, model, sample, opt, cfg)
+    fused = make_fused_train_step(model, cfg, opt, mesh, pp, seed=0)
+
+    box = {"state": state, "m": None, "i": 0}
+
+    def run_epoch(epoch) -> float:
+        """One full pass: loader -> prefetch -> step; returns seconds."""
+        loader.set_epoch(epoch)
+        t0 = time.perf_counter()
+        for b in device_prefetch(loader, mesh):
+            box["state"], box["m"] = fused(
+                box["state"], b, jnp.int32(box["i"])
+            )
+            box["i"] += 1
+        float(np.asarray(box["m"]["loss"]))  # fence
+        return time.perf_counter() - t0
+
+    run_epoch(2)  # warmup: compile + cache fill
+    best = 0.0
+    for w in range(windows):
+        best = max(best, n_items / run_epoch(3 + w))
+
+    # transfer ceiling: resident host batches (no decode) through the
+    # same prefetch + step path — isolates H2D cost from host decode
+    resident = [first] * batches_per_epoch
+    h2d_best = 0.0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for b in device_prefetch(resident, mesh):
+            box["state"], box["m"] = fused(
+                box["state"], b, jnp.int32(box["i"])
+            )
+            box["i"] += 1
+        float(np.asarray(box["m"]["loss"]))
+        h2d_best = max(h2d_best, n_items / (time.perf_counter() - t0))
+
+    n_chips = jax.device_count()
+    return {
+        "metric": (
+            f"avid_pretrain_pipeline_clips_per_sec_per_chip_b{batch}_"
+            f"{frames}x{crop}_{dtype_name}"
+        ),
+        "value": round(best / n_chips, 2),
+        "unit": "clips/s/chip",
+        "h2d_step_clips_per_sec_per_chip": round(h2d_best / n_chips, 2),
+        "loader_only_clips_per_sec": round(loader_rate, 2),
+        "decode_ms_per_clip_1thread": round(decode_ms, 2),
+        "workers": workers,
+        "loader": loader_kind,
+        "host_cpus": os.cpu_count(),
+    }
+
+
 def measure_finetune(batch, steps, windows, dtype, dtype_name) -> dict:
     """UCF-101 full-finetune train-step throughput at the reference
     benchmark recipe shape (configs/benchmark/ucf/8at16-fold1.yaml:
@@ -256,7 +379,14 @@ def main():
     # persistent compile cache: the big programs cost minutes to compile
     # through the tunnel; repeat runs on the same host skip that. Set
     # BENCH_COMPILE_CACHE= (empty) to disable.
-    cache = os.environ.get("BENCH_COMPILE_CACHE", "/root/.cache/jax_bench_cache")
+    cache = os.environ.get("BENCH_COMPILE_CACHE")
+    if cache is None:
+        # keyed by machine + jax version so entries always load cleanly
+        # (utils/compile_cache.py); "bench" tag keeps the tunneled-TPU
+        # programs out of the CPU test namespace
+        from avid_cma_tpu.utils.compile_cache import cache_dir
+
+        cache = cache_dir("bench")
     if cache:
         try:
             jax.config.update("jax_compilation_cache_dir", cache)
@@ -321,6 +451,20 @@ def main():
             out["secondary"]["mining"] = measure_mining()
         except Exception as e:
             print(f"bench: mining secondary failed: {e!r}", file=sys.stderr)
+    if not os.environ.get("BENCH_SKIP_PIPELINE"):
+        try:
+            workers = int(os.environ.get(
+                "BENCH_PIPELINE_WORKERS",
+                str(min(16, max(4, (os.cpu_count() or 1) * 4))),
+            ))
+            out["secondary"]["pipeline"] = measure_pipeline(
+                batch, 224, 8, max(2, windows // 2), dtype, dtype_name,
+                workers=workers,
+                loader_kind=os.environ.get("BENCH_PIPELINE_LOADER",
+                                           "threaded"),
+            )
+        except Exception as e:
+            print(f"bench: pipeline secondary failed: {e!r}", file=sys.stderr)
     if baseline_info:
         out["baseline"] = {
             "clips_per_sec_per_chip": baseline,

@@ -117,8 +117,9 @@ def classify_videos(
     )
     raw, ckpt_kind = _restore_finetuned(eval_dir, which)
 
-    backbone, _ = _load_backbone(model_cfg)  # architecture only; weights
-    # come from the finetuned checkpoint below
+    # architecture only — weights come from the finetuned checkpoint
+    # above, so skip the (potentially large) pretrain checkpoint read
+    backbone, _ = _load_backbone(model_cfg, weights=False)
     mcfg = eval_cfg.model
     model = ClassificationWrapper(
         feature_extractor=backbone,
@@ -173,15 +174,23 @@ def main(argv=None) -> int:
 
     eval_cfg = config_lib.load(args.eval_cfg, overrides=args.overrides)
     model_cfg = config_lib.load(args.model_cfg).model
+    # resolve the fold ONCE: checkpoint dir and class names must come
+    # from the same fold (classify_videos defaults to the config's)
+    fold = (args.fold if args.fold is not None
+            else int(eval_cfg.dataset.get("fold", 1)))
     probs, ckpt_kind = classify_videos(
-        eval_cfg, model_cfg, args.videos, fold=args.fold, which=args.ckpt,
+        eval_cfg, model_cfg, args.videos, fold=fold, which=args.ckpt,
         clips=args.clips,
     )
-    names = (
-        [ln.strip() for ln in open(args.classes) if ln.strip()]
-        if args.classes else
-        _class_names(eval_cfg, args.fold or 1, probs.shape[1])
-    )
+    if args.classes:
+        names = [ln.strip() for ln in open(args.classes) if ln.strip()]
+        if len(names) != probs.shape[1]:
+            raise SystemExit(
+                f"--classes {args.classes} has {len(names)} names but the "
+                f"model outputs {probs.shape[1]} classes"
+            )
+    else:
+        names = _class_names(eval_cfg, fold, probs.shape[1])
     print(f"checkpoint: {ckpt_kind}")
     for path, p in zip(args.videos, probs):
         order = np.argsort(p)[::-1][: args.topk]

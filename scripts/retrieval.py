@@ -57,6 +57,14 @@ def evaluate(npz_path: str, ks=(1, 5, 10)):
                 "extract_features.py --space nce"
             )
     v, a = data["feat_video"], data["feat_audio"]
+    if "index" in data:
+        # multi-host extraction pads shards by REPEATING indices; the
+        # duplicate rows create exact-score ties that the pessimistic
+        # rank rule scores as misses — dedup by dataset index first
+        _, keep = np.unique(np.asarray(data["index"]), return_index=True)
+        if keep.shape[0] != v.shape[0]:
+            keep = np.sort(keep)
+            v, a = v[keep], a[keep]
     return {
         "v2a": recall_metrics(v, a, ks),
         "a2v": recall_metrics(a, v, ks),

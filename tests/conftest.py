@@ -17,13 +17,26 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: CPU compiles of the 3D conv nets take
-# minutes; cache them across pytest runs.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+# minutes; cache them across pytest runs. Keyed by (target, jax version,
+# machine fingerprint) — XLA:CPU AOT entries bake in machine features, so
+# a directory shared across machine types spams load errors and never
+# hits (utils/compile_cache.py). Exported via env so every subprocess the
+# tests spawn shares the same warm namespace.
+from avid_cma_tpu.utils.compile_cache import cache_dir  # noqa: E402
+
+_CACHE = cache_dir("cpu-tests")
+os.environ["JAX_COMPILATION_CACHE_DIR"] = _CACHE
+os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1.0"
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

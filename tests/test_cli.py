@@ -21,9 +21,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(argv, timeout=1200):
+    # JAX_PLATFORMS=cpu, the virtual-device XLA flag, and the keyed
+    # persistent compile cache are inherited from conftest's os.environ
     env = dict(os.environ)
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_test_cache")
-    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
     return subprocess.run(
         [sys.executable] + argv, cwd=REPO, env=env,
         capture_output=True, text=True, timeout=timeout,

@@ -22,14 +22,32 @@ import yaml
 from test_cli import REPO, _model_yaml
 
 
-def _launch(cfg_path):
+def _launch(cfg_path, log_path):
+    """Spawn the pretrain CLI with stdout/stderr to a FILE.
+
+    A pipe here deadlocks the test: the parent only reads the pipe after
+    the first committed checkpoint, but compile-cache load warnings can
+    fill the 64 KB pipe buffer first, blocking the child's main thread in
+    write() before it ever trains (observed: round-3's reproducible
+    failure — the child sat in anon_pipe_write for the full 1200 s
+    deadline). The child inherits JAX_PLATFORMS=cpu + the virtual-device
+    XLA flag + the keyed compile cache from conftest's os.environ, but
+    pin them explicitly so the test does not depend on import order.
+    """
     env = dict(os.environ)
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_test_cache")
-    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
-    return subprocess.Popen(
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the TPU plugin out
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append("--xla_force_host_platform_device_count=8")
+    env["XLA_FLAGS"] = " ".join(flags)
+    logf = open(log_path, "w")
+    proc = subprocess.Popen(
         [sys.executable, "main_avid.py", cfg_path], cwd=REPO, env=env,
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        stdout=logf, stderr=subprocess.STDOUT,
     )
+    proc._logf = logf  # closed by the caller after wait
+    return proc
 
 
 def _committed_steps(run_dir):
@@ -54,7 +72,7 @@ def test_sigkill_then_resume_completes(tmp_path):
         yaml.safe_dump(cfg, f)
     run_dir = os.path.join(str(tmp_path), "preempt")
 
-    proc = _launch(cfg_path)
+    proc = _launch(cfg_path, tmp_path / "leg1.log")
     try:
         # wait for the first COMMITTED checkpoint, then hard-kill — the
         # kill may land inside a later in-flight async write
@@ -68,14 +86,16 @@ def test_sigkill_then_resume_completes(tmp_path):
         preempted = proc.poll() is None
         if preempted:
             proc.send_signal(signal.SIGKILL)
-        out, err = proc.communicate(timeout=60)
+        proc.wait(timeout=60)
     finally:
         if proc.poll() is None:
             proc.kill()
+        proc._logf.close()
+    err = (tmp_path / "leg1.log").read_text()
 
     steps_after_kill = _committed_steps(run_dir)
     assert steps_after_kill, (
-        f"no committed checkpoint before kill/exit; stderr: {err[-3000:]}"
+        f"no committed checkpoint before kill/exit; output: {err[-3000:]}"
     )
     if not preempted:
         # process finished before we could kill it (very fast host) —
@@ -83,11 +103,10 @@ def test_sigkill_then_resume_completes(tmp_path):
         assert proc.returncode == 0, err[-3000:]
 
     # relaunch: resume from the last committed step and run to the end
+    # (capture_output reads the pipes concurrently — no deadlock here)
     r = subprocess.run(
         [sys.executable, "main_avid.py", cfg_path], cwd=REPO,
-        env=dict(os.environ,
-                 JAX_COMPILATION_CACHE_DIR="/root/.cache/jax_test_cache"),
-        capture_output=True, text=True, timeout=1200,
+        env=dict(os.environ), capture_output=True, text=True, timeout=1200,
     )
     assert r.returncode == 0, r.stderr[-4000:]
     assert max(_committed_steps(run_dir)) == 8, _committed_steps(run_dir)
