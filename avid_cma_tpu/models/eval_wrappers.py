@@ -73,8 +73,16 @@ class Classifier(nn.Module):
 class MOSTModel(nn.Module):
     """Multi-Output-Single-Tap probes over a frozen extractor
     (reference: utils/eval_utils.py:298-329). The extractor always runs
-    in eval mode (BN running stats; eval_utils.py:312,319-320) and under
-    stop_gradient."""
+    in eval mode (BN running stats) and under stop_gradient.
+
+    Deliberate divergence: the reference constructs the extractor in eval
+    mode (eval_utils.py:312,319-320) but run_phase's model.train(True)
+    (eval-action-recg-linear.py:112) recursively flips its BN layers back
+    to batch-stat mode — the "frozen" features then depend on the probe
+    batch composition. Here train=False is pinned so frozen features are
+    deterministic. tests/test_supervised_trajectory_parity.py pins the
+    trajectory against the reference modules run with an eval-mode
+    extractor (the reference's construction-time intent)."""
 
     feature_extractor: nn.Module
     n_classes: int
