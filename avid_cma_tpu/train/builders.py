@@ -103,6 +103,8 @@ def build_dataset(
         )
     if "synthetic_size" in db_cfg:
         kwargs["synthetic_size"] = int(db_cfg["synthetic_size"])
+    if "num_classes" in db_cfg:  # learnable synthetic_av (data/learnable.py)
+        kwargs["num_classes"] = int(db_cfg["num_classes"])
     if db_cfg.get("decode_size") is not None:
         # fixed decode size (H, W): real backends cover-scale+crop at
         # decode time so heterogeneous media yields static shapes for the
