@@ -103,7 +103,9 @@ def build_dataset(
         )
     if "synthetic_size" in db_cfg:
         kwargs["synthetic_size"] = int(db_cfg["synthetic_size"])
-    if "num_classes" in db_cfg:  # learnable synthetic_av (data/learnable.py)
+    if db_cfg.get("name") == "synthetic_av" and "num_classes" in db_cfg:
+        # only the learnable synthetic dataset takes this constructor arg
+        # (data/learnable.py); real datasets derive classes from listings
         kwargs["num_classes"] = int(db_cfg["num_classes"])
     if db_cfg.get("decode_size") is not None:
         # fixed decode size (H, W): real backends cover-scale+crop at

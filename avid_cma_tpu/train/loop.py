@@ -287,15 +287,22 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
                 meters["loss"].update(float(arr), n=n)
             pending_losses.clear()
 
+        # discard fallback for loaders without set_start_batch: skip on
+        # the RAW host iterator (decode is still paid — the documented
+        # cost of this path — but no H2D placement / global-array
+        # assembly for batches that are about to be thrown away)
+        batch_iter = iter(loader)
+        if skip_batches:
+            for _ in range(skip_batches):
+                next(batch_iter, None)
+            start_it, skip_batches = start_it + skip_batches, 0
+
         t0 = time.time()
         # device_prefetch: batches arrive already row-sharded on the mesh,
         # their H2D DMA overlapped with the previous step's compute
         # (reference: pinned-memory .cuda(non_blocking), main-avid.py:161)
-        for it, batch in enumerate(device_prefetch(loader, mesh),
+        for it, batch in enumerate(device_prefetch(batch_iter, mesh),
                                    start=start_it):
-            if it - start_it < skip_batches:  # discard fallback for
-                t0 = time.time()              # loaders without set_start_batch
-                continue
             meters["data_t"].update(time.time() - t0)
             # profile_steps: [start, stop) global-step window captured as
             # an XLA trace into model_dir/profile (open with

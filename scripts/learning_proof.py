@@ -42,7 +42,7 @@ def build_cfg(args):
 
     return _wrap({
         "seed": 0, "num_workers": 2, "print_freq": 32, "log2tb": False,
-        "resume": True, "quiet": not args.verbose,
+        "resume": args.resume, "quiet": not args.verbose,
         "dataset": {
             "name": "synthetic_av",
             "num_classes": args.classes,
@@ -96,6 +96,17 @@ def run_proof(args) -> dict:
     from scripts.retrieval import recall_metrics
 
     cfg = build_cfg(args)
+    run_dir = os.path.join(args.model_dir, args.name)
+    if args.resume:
+        if not os.path.isdir(run_dir):
+            sys.exit(f"--resume: no existing run at {run_dir}")
+    elif os.path.isdir(run_dir):
+        # the proof must certify THIS code: a leftover completed run
+        # would make run_pretraining restore at the final step, train
+        # zero batches, and evaluate stale weights as fresh evidence
+        import shutil
+
+        shutil.rmtree(run_dir)
     t0 = time.time()
     run_pretraining(cfg)
     wall = time.time() - t0
@@ -138,6 +149,7 @@ def run_proof(args) -> dict:
 
     result = {
         "pretrain_wall_sec": round(wall, 1),
+        "resumed": bool(args.resume),
         "epochs": args.epochs,
         "train_instances": args.train_size,
         "test_instances": n,
@@ -175,6 +187,11 @@ def main(argv=None) -> int:
     ap.add_argument("--probe-factor", type=float, default=3.0,
                     help="probe top-1 must be >= this x chance")
     ap.add_argument("--out", default=os.path.join(REPO, "LEARNPROOF.json"))
+    ap.add_argument("--resume", action="store_true",
+                    help="continue an interrupted run instead of starting "
+                         "fresh (default wipes the run dir: the artifact "
+                         "must certify the current code, and resuming a "
+                         "COMPLETED run would evaluate stale weights)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 

@@ -81,9 +81,14 @@ def validate(
         report["meta"]["height"].append(meta.height)
         report["meta"]["width"].append(meta.width)
         if meta.duration <= 0 or meta.duration > 36000:
-            report["flags"].append(
-                {"path": path, "flag": f"absurd duration {meta.duration}"}
-            )
+            # a failure, not a flag: no decode can be validated for this
+            # file, so it must not count toward summary["ok"] or let the
+            # preflight exit 0 (a corpus of duration-0 containers would
+            # otherwise "pass" without exercising decode at all)
+            report["failures"].append({
+                "path": path, "stage": "meta",
+                "error": f"absurd duration {meta.duration}",
+            })
             continue
         # mid-file window: exercises seek, not just sequential decode
         start = max(0.0, meta.duration / 2 - video_clip_duration / 2)

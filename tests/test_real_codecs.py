@@ -117,11 +117,20 @@ def _write_fixture_pyav(path: str) -> None:
         frame = av.VideoFrame.from_ndarray(img, format="rgb24")
         for pkt in vs.encode(frame):
             container.mux(pkt)
-    pcm = (_audio_wave() * 32767).astype("<i2").reshape(1, -1)
-    aframe = av.AudioFrame.from_ndarray(pcm, format="s16", layout="mono")
-    aframe.sample_rate = SRC_RATE
-    for pkt in as_.encode(aframe):
-        container.mux(pkt)
+    # AAC encoders take fixed-size frames (frame_size, typically 1024
+    # samples) — feeding the whole waveform as one AudioFrame is
+    # rejected with EINVAL; chunk it with running pts
+    pcm = (_audio_wave() * 32767).astype("<i2")
+    step = int(getattr(as_.codec_context, "frame_size", 0) or 1024)
+    for off in range(0, pcm.size, step):
+        chunk = pcm[off : off + step].reshape(1, -1)
+        aframe = av.AudioFrame.from_ndarray(
+            chunk, format="s16", layout="mono"
+        )
+        aframe.sample_rate = SRC_RATE
+        aframe.pts = off
+        for pkt in as_.encode(aframe):
+            container.mux(pkt)
     for stream in (vs, as_):
         for pkt in stream.encode(None):
             container.mux(pkt)
