@@ -60,12 +60,13 @@ def _sweep_tiles(
     """Top-k agreement indices for local queries (num_q, D) against full
     banks (N, D). Returns (num_q, pos_k) int32, rows sorted ascending.
 
-    exact=False uses lax.approx_max_k (TPU PartialReduce, ~1.4x faster
-    than the exact TopK at AudioSet-relevant N, measured recall 0.995 at
-    the 0.99 target) — mined positive sets are themselves a heuristic
-    (reference criterions/avid_cma.py:56-70), so sub-1% recall loss is
-    an acceptable trade at 1.78M-row scale where the exact sweep costs
-    hours; the default stays exact for reference parity."""
+    exact=False uses lax.approx_max_k (TPU PartialReduce; measured
+    recall 0.995 at the 0.99 target) — mined positive sets are
+    themselves a heuristic (reference criterions/avid_cma.py:56-70), so
+    sub-1% recall loss is an acceptable trade at AudioSet scale, where
+    the measured full-corpus sweep at N=1,784,108 is 74 s approx vs
+    430 s exact on one chip (PERF.md); the default stays exact for
+    reference parity."""
     num_q = q_v.shape[0]
     n_tiles = -(-num_q // tile)
     pad = n_tiles * tile - num_q

@@ -46,6 +46,13 @@ def main():
     p.add_argument("--queries", type=int, default=0,
                    help="sweep only this many queries (0 = all N) and "
                         "extrapolate; for quick probes at huge N")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="split the query range into host-level dispatches "
+                        "of this many queries (0 = one dispatch). A "
+                        "time-sliced/tunneled chip kills single dispatches "
+                        "beyond ~1 min, and production pods sweep short "
+                        "per-chip query shards anyway — chunking measures "
+                        "the full corpus as production would run it")
     args = p.parse_args()
 
     from avid_cma_tpu.criterions.mining import _sweep_tiles
@@ -57,29 +64,49 @@ def main():
 
     bv, ba = bank(), bank()
     nq = min(args.queries or args.n, args.n)  # clamp: queries are bank rows
-    qi = jnp.arange(nq, dtype=jnp.int32)
+    chunk = min(args.chunk or nq, nq)
+    qi = jnp.arange(chunk, dtype=jnp.int32)
 
     sweep = jax.jit(
-        lambda bv, ba: _sweep_tiles(
-            bv, ba, bv[:nq], ba[:nq], qi, pos_k=args.pos_k,
+        lambda bv, ba, q0: _sweep_tiles(
+            bv, ba,
+            jax.lax.dynamic_slice_in_dim(bv, q0, chunk),
+            jax.lax.dynamic_slice_in_dim(ba, q0, chunk),
+            qi + q0, pos_k=args.pos_k,
             kind="consensus", tile=args.tile, exact=not args.approx,
         )
     )
-    out = sweep(bv, ba)
-    np.asarray(out)  # compile + run (full fetch = portable fence)
+
+    def full_pass():
+        outs = []
+        for q0 in range(0, nq - chunk + 1, chunk):
+            outs.append(sweep(bv, ba, q0))
+        for o in outs:
+            np.asarray(o)  # full fetch = portable fence
+        return outs
+
+    np.asarray(sweep(bv, ba, 0))  # compile (chunks share one program)
     t0 = time.perf_counter()
-    out = sweep(bv, ba)
-    np.asarray(out)
+    full_pass()
     dt = time.perf_counter() - t0
-    full = dt * (args.n / nq)
-    flops = 2 * 2 * nq * args.n * args.d  # two N x nq x D matmuls
+    swept = (nq // chunk) * chunk
+    full = dt * (args.n / swept)
+    flops = 2 * 2 * swept * args.n * args.d  # two N x nq x D matmuls
+    # device HBM occupancy with banks + sweep live (feasibility evidence
+    # for the AudioSet-2M recipes; stats absent on some backends)
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak_gb = stats.get("peak_bytes_in_use", 0) / 2**30
+    limit_gb = stats.get("bytes_limit", 0) / 2**30
     print(json.dumps({
         "metric": "cma_mining_sweep_sec",
         "n": args.n, "d": args.d, "pos_k": args.pos_k, "tile": args.tile,
-        "exact": not args.approx, "queries": nq,
+        "exact": not args.approx, "queries": swept,
+        "chunk": chunk,
         "value": round(dt, 2), "unit": "s",
         "extrapolated_full_sweep_sec": round(full, 2),
         "matmul_tflops_per_sec": round(flops / dt / 1e12, 2),
+        "hbm_peak_gb": round(peak_gb, 2),
+        "hbm_limit_gb": round(limit_gb, 2),
     }))
 
 
