@@ -20,6 +20,15 @@ Writes LEARNPROOF.json next to the repo root and exits nonzero on any
 missed threshold. ~15 min single-chip cold, ~5 min with a warm compile
 cache; pytest wraps this via tests/test_learning.py (TPU-gated — a CPU
 step at this shape is ~10 s, see the test's skip note).
+
+`--criterion avid_cma` proves the SECOND training stage end-to-end: the
+AVID phase above, then an AVID_CMA phase warm-started from its orbax run
+(weights + banks + Z — the torch-free analogue of the reference's
+.pth.tar chain, criterions/avid_cma.py:308-319), with consensus mining
+at init and every --resample-freq epochs. On top of the transfer gates
+it asserts mined-positive label purity >= --purity-factor x chance: the
+mining must find same-class neighbors, the premise of positive-set
+expansion. Writes LEARNPROOF_CMA.json.
 """
 
 from __future__ import annotations
@@ -36,10 +45,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_cfg(args):
+def build_cfg(args, name=None, loss=None, model_ckpt=None, epochs=None):
     import avid_cma_tpu  # noqa: F401  (registries)
     from avid_cma_tpu.config import _wrap
 
+    model_args = {
+        "proj_dim": [512, 512, 128],
+        "video_backbone": "R2Plus1D",
+        "video_backbone_args": {"depth": 10},
+        "audio_backbone": "Conv2D",
+        "audio_backbone_args": {"depth": 10},
+    }
+    if model_ckpt is not None:
+        model_args["checkpoint"] = model_ckpt
     return _wrap({
         "seed": 0, "num_workers": 2, "print_freq": 32, "log2tb": False,
         "resume": args.resume, "quiet": not args.verbose,
@@ -63,23 +81,17 @@ def build_cfg(args):
         },
         "optimizer": {
             "name": "adam", "weight_decay": 1e-5,
-            "num_epochs": args.epochs,
+            "num_epochs": epochs if epochs is not None else args.epochs,
             "lr": {"name": "multistep", "base_lr": args.lr,
                    "gamma": 1.0, "milestones": [10 ** 6]},
         },
         "model": {
-            "name": args.name,
+            "name": name if name is not None else args.name,
             "model_dir": args.model_dir,
             "arch": "av_wrapper",
-            "args": {
-                "proj_dim": [512, 512, 128],
-                "video_backbone": "R2Plus1D",
-                "video_backbone_args": {"depth": 10},
-                "audio_backbone": "Conv2D",
-                "audio_backbone_args": {"depth": 10},
-            },
+            "args": model_args,
         },
-        "loss": {
+        "loss": loss if loss is not None else {
             "name": "AVID",
             "args": {"num_data": args.train_size,
                      "num_negatives": args.negatives,
@@ -89,26 +101,89 @@ def build_cfg(args):
     })
 
 
+def cma_loss_cfg(args, avid_orbax):
+    """AVID_CMA loss section warm-started (banks + Z) from the AVID
+    phase's orbax run — the torch-free chain the flagship AVID-CMA
+    configs express with .pth.tar paths (reference
+    criterions/avid_cma.py:308-319). Flagship head coefficients
+    (xModalInst=1, wModalPos=1); pos_k/negatives scaled to the synthetic
+    corpus."""
+    return {
+        "name": "AVID_CMA",
+        "args": {
+            "checkpoint": avid_orbax,
+            "num_data": args.train_size,
+            "momentum": 0.5,
+            "num_negatives": args.negatives,
+            "num_negatives_within": max(args.negatives // 2, 8),
+            "xModalInstCoeff": 1.0,
+            "wModalInstCoeff": 0.0,
+            "xModalPosCoeff": 0.0,
+            "wModalPosCoeff": 1.0,
+            "resample_freq": args.resample_freq,
+            "sampling_args": {"type": "consensus", "pos_k": args.pos_k},
+        },
+    }
+
+
+def mined_purity(run_dir, args):
+    """Label purity of the positive set mined from the FINAL banks: the
+    fraction of each instance's pos_k consensus neighbors that share its
+    class. Labels are index % classes (data/learnable.py), so purity is
+    computable without touching the dataset. Chance = same-class others /
+    all others."""
+    from avid_cma_tpu.criterions.mining import mine_positives
+    from avid_cma_tpu.train.checkpoint import import_criterion_orbax
+
+    bank = import_criterion_orbax(os.path.join(run_dir, "orbax"))
+    pos = np.asarray(mine_positives(
+        bank.view1_mem, bank.view2_mem, pos_k=args.pos_k, kind="consensus"
+    ))
+    labels = np.arange(args.train_size) % args.classes
+    purity = float((labels[pos] == labels[:, None]).mean())
+    per_class = args.train_size // args.classes
+    chance = (per_class - 1) / (args.train_size - 1)
+    return purity, chance
+
+
 def run_proof(args) -> dict:
     from avid_cma_tpu.config import _wrap
     from avid_cma_tpu.train.loop import run_pretraining
     from scripts.extract_features import extract_features
     from scripts.retrieval import recall_metrics
 
-    cfg = build_cfg(args)
-    run_dir = os.path.join(args.model_dir, args.name)
+    cma = args.criterion == "avid_cma"
+    avid_name = args.name + "-avid" if cma else args.name
+    run_dirs = [os.path.join(args.model_dir, avid_name)]
+    if cma:
+        run_dirs.append(os.path.join(args.model_dir, args.name))
     if args.resume:
-        if not os.path.isdir(run_dir):
-            sys.exit(f"--resume: no existing run at {run_dir}")
-    elif os.path.isdir(run_dir):
+        if not os.path.isdir(run_dirs[0]):
+            sys.exit(f"--resume: no existing run at {run_dirs[0]}")
+    else:
         # the proof must certify THIS code: a leftover completed run
         # would make run_pretraining restore at the final step, train
         # zero batches, and evaluate stale weights as fresh evidence
         import shutil
 
-        shutil.rmtree(run_dir)
+        for d in run_dirs:
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+
     t0 = time.time()
-    run_pretraining(cfg)
+    run_pretraining(build_cfg(args, name=avid_name))
+    if cma:
+        # phase 2: AVID_CMA warm-started from phase 1 (weights + banks +
+        # Z via the orbax run dir), positive set mined from the banks,
+        # re-mined every resample_freq epochs
+        avid_orbax = os.path.join(args.model_dir, avid_name, "orbax")
+        cfg = build_cfg(
+            args, loss=cma_loss_cfg(args, avid_orbax),
+            model_ckpt=avid_orbax, epochs=args.cma_epochs,
+        )
+        run_pretraining(cfg)
+    else:
+        cfg = build_cfg(args)
     wall = time.time() - t0
 
     db = cfg["dataset"]
@@ -148,6 +223,7 @@ def run_proof(args) -> dict:
     probe_acc = float(((Xte @ W).argmax(1) == yte).mean())
 
     result = {
+        "criterion": args.criterion,
         "pretrain_wall_sec": round(wall, 1),
         "resumed": bool(args.resume),
         "epochs": args.epochs,
@@ -167,12 +243,43 @@ def run_proof(args) -> dict:
         probe_acc >= args.probe_factor / args.classes
     )
     result["pass"] = result["pass_retrieval"] and result["pass_probe"]
+    if cma:
+        # CMA-specific evidence: the consensus mining must find
+        # same-class neighbors well above chance in the final banks —
+        # the whole premise of positive-set expansion
+        purity, chance_p = mined_purity(
+            os.path.join(args.model_dir, args.name), args
+        )
+        result.update({
+            "cma_epochs": args.cma_epochs,
+            "pos_k": args.pos_k,
+            "mined_purity": round(purity, 4),
+            "chance_purity": round(chance_p, 4),
+            "thresholds": {**result["thresholds"],
+                           "purity_factor": args.purity_factor},
+        })
+        result["pass_mining"] = bool(
+            purity >= args.purity_factor * chance_p
+        )
+        result["pass"] = result["pass"] and result["pass_mining"]
     return result
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--criterion", choices=["avid", "avid_cma"],
+                    default="avid",
+                    help="avid_cma: AVID phase (--epochs) then an "
+                         "AVID_CMA phase (--cma-epochs) warm-started "
+                         "from it, with a mined-positive label-purity "
+                         "gate on top of the transfer gates")
     ap.add_argument("--epochs", type=int, default=400)
+    ap.add_argument("--cma-epochs", type=int, default=160)
+    ap.add_argument("--pos-k", type=int, default=4)
+    ap.add_argument("--resample-freq", type=int, default=40)
+    ap.add_argument("--purity-factor", type=float, default=2.0,
+                    help="mined same-class purity must be >= this x "
+                         "chance (avid_cma only)")
     ap.add_argument("--train-size", type=int, default=128)
     ap.add_argument("--test-size", type=int, default=64)
     ap.add_argument("--classes", type=int, default=8)
@@ -186,7 +293,9 @@ def main(argv=None) -> int:
                     help="retrieval R@1 must be >= this x chance")
     ap.add_argument("--probe-factor", type=float, default=3.0,
                     help="probe top-1 must be >= this x chance")
-    ap.add_argument("--out", default=os.path.join(REPO, "LEARNPROOF.json"))
+    ap.add_argument("--out", default=None,
+                    help="artifact path (default LEARNPROOF.json, or "
+                         "LEARNPROOF_CMA.json for --criterion avid_cma)")
     ap.add_argument("--resume", action="store_true",
                     help="continue an interrupted run instead of starting "
                          "fresh (default wipes the run dir: the artifact "
@@ -194,6 +303,12 @@ def main(argv=None) -> int:
                          "COMPLETED run would evaluate stale weights)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
+    if args.out is None:
+        fname = ("LEARNPROOF_CMA.json" if args.criterion == "avid_cma"
+                 else "LEARNPROOF.json")
+        args.out = os.path.join(REPO, fname)
+    if args.name == "learning-proof" and args.criterion == "avid_cma":
+        args.name = "learning-proof-cma"
 
     result = run_proof(args)
     print(json.dumps(result, indent=2))

@@ -115,6 +115,26 @@ def test_recorded_learnproof_artifact():
     ), r
 
 
+def test_recorded_cma_learnproof_artifact():
+    """LEARNPROOF_CMA.json: the AVID->CMA two-stage proof (transfer
+    gates + mined-positive label purity) recorded on real hardware."""
+    path = os.path.join(REPO, "LEARNPROOF_CMA.json")
+    if not os.path.isfile(path):
+        pytest.skip(
+            "LEARNPROOF_CMA.json not recorded yet — run "
+            "scripts/learning_proof.py --criterion avid_cma on a device "
+            "host to generate the CMA learning evidence"
+        )
+    with open(path) as f:
+        r = json.load(f)
+    assert r["criterion"] == "avid_cma", r
+    assert r["pass"], r
+    assert r["pass_retrieval"] and r["pass_probe"] and r["pass_mining"], r
+    assert r["mined_purity"] >= (
+        r["thresholds"]["purity_factor"] * r["chance_purity"]
+    ), r
+
+
 @pytest.mark.skipif(
     not os.environ.get("AVID_LEARNING_PROOF"),
     reason="full learning proof trains ~3k steps (~10 s/step on this "
@@ -129,5 +149,25 @@ def test_learning_proof_end_to_end(tmp_path):
         "--name", "learning-proof-test",
         "--model-dir", str(tmp_path),
         "--out", str(tmp_path / "LEARNPROOF.json"),
+    ])
+    assert rc == 0
+
+
+@pytest.mark.skipif(
+    not os.environ.get("AVID_LEARNING_PROOF"),
+    reason="two-stage AVID->CMA proof; set AVID_LEARNING_PROOF=1 to run "
+    "it on a real device (~25 min)",
+)
+def test_cma_learning_proof_end_to_end(tmp_path):
+    import scripts.learning_proof as lp
+
+    rc = lp.main([
+        "--criterion", "avid_cma",
+        "--epochs", os.environ.get("AVID_LEARNING_PROOF_EPOCHS", "240"),
+        "--cma-epochs",
+        os.environ.get("AVID_LEARNING_PROOF_CMA_EPOCHS", "120"),
+        "--name", "learning-proof-cma-test",
+        "--model-dir", str(tmp_path),
+        "--out", str(tmp_path / "LEARNPROOF_CMA.json"),
     ])
     assert rc == 0
