@@ -325,3 +325,37 @@ def video_prep_msc_cj(
         return out
 
     return fn
+
+
+def video_prep_crop_cj(
+    crop: int = 224,
+    resize: Tuple[int, int] = (256, 256),
+    color: Tuple[float, float, float, float] = (0.4, 0.4, 0.4, 0.2),
+    augment: bool = True,
+    num_frames: Optional[int] = None,
+):
+    """Host-side VideoPrep_Crop_CJ (preprocessing.py:63-113) returning a
+    callable clip -> normalized float (T, S, S, C): exact
+    (aspect-distorting) Resize(resize) + RandomCrop train branch,
+    Resize + CenterCrop eval branch. Selected by `transform:
+    crop+color` (utils/eval_utils.py:79-86, the Kinetics linear
+    probe)."""
+    if augment:
+        ts = [
+            Resize(tuple(resize)),
+            RandomCrop(crop),
+            RandomHorizontalFlip(),
+            ColorJitter(*color),
+        ]
+    else:
+        ts = [Resize(tuple(resize)), CenterCrop(crop)]
+    ts += [ClipToTensor(), Normalize()]
+    pipeline = Compose(ts)
+
+    def fn(clip):
+        out = pipeline(clip)
+        if num_frames:
+            out = pad_missing_frames(out, num_frames)
+        return out
+
+    return fn

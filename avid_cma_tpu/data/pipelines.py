@@ -17,14 +17,30 @@ import jax
 import jax.numpy as jnp
 
 from avid_cma_tpu.ops.stft import log_spectrogram
-from avid_cma_tpu.ops.video_aug import augment_clips_eval, augment_clips_train
+from avid_cma_tpu.ops.video_aug import (
+    augment_clips_eval,
+    augment_clips_train,
+    crop_augment_clips_eval,
+    crop_augment_clips_train,
+)
 
 
 @dataclasses.dataclass(frozen=True)
 class PreprocessConfig:
+    # which reference video front-end: 'msc+color' = VideoPrep_MSC_CJ
+    # (random-resized-crop), 'crop+color' = VideoPrep_Crop_CJ (exact
+    # Resize(resize) + RandomCrop) — the dispatch mirrored from
+    # utils/eval_utils.py:70-86 / utils/main_utils.py:151-165
+    transform: str = "msc+color"
     crop_size: int = 224
     min_area: float = 0.08
     color: Tuple[float, float, float, float] = (0.4, 0.4, 0.4, 0.2)
+    # Crop_CJ exact-resize target (reference VideoPrep_Crop_CJ default,
+    # preprocessing.py:64)
+    resize: Tuple[int, int] = (256, 256)
+    # jitter op order: 'random' = per-clip shuffled like the reference
+    # (video_transforms.py:462), 'canonical' = fixed b->c->s->h order
+    jitter_order: str = "random"
     audio_fps: int = 24000
     n_fft: int = 512
     spectrogram_fps: float = 100.0
@@ -66,17 +82,43 @@ def preprocess_batch(
 ) -> Dict[str, jnp.ndarray]:
     """{frames: uint8 (B,T,H,W,C), audio: f32 (B,L), ...} ->
     {frames: f32 (B,T,S,S,C), audio: f32 (B,T',F,1), ...}."""
+    if cfg.transform not in ("msc+color", "crop+color"):
+        # fail LOUDLY: a silently-ignored transform value is how the
+        # crop+color branch went missing for four rounds (the reference
+        # raises on unknown values too, utils/eval_utils.py:86-87)
+        raise ValueError(
+            f"unknown transform {cfg.transform!r}: "
+            "expected 'msc+color' or 'crop+color'"
+        )
     out = dict(batch)
     k_vid, k_vol = jax.random.split(key)
     if "frames" in batch:
         vdtype = cfg.resolve_video_dtype()
-        if train:
+        if train and cfg.transform == "crop+color":
+            out["frames"] = crop_augment_clips_train(
+                k_vid,
+                batch["frames"],
+                crop_size=cfg.crop_size,
+                resize=cfg.resize,
+                color=cfg.color,
+                dtype=vdtype,
+                jitter_order=cfg.jitter_order,
+            )
+        elif train:
             out["frames"] = augment_clips_train(
                 k_vid,
                 batch["frames"],
                 crop_size=cfg.crop_size,
                 min_area=cfg.min_area,
                 color=cfg.color,
+                dtype=vdtype,
+                jitter_order=cfg.jitter_order,
+            )
+        elif cfg.transform == "crop+color":
+            out["frames"] = crop_augment_clips_eval(
+                batch["frames"],
+                crop_size=cfg.crop_size,
+                resize=cfg.resize,
                 dtype=vdtype,
             )
         else:

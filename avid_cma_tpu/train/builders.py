@@ -52,10 +52,45 @@ def build_criterion_config(loss_cfg: Config, embedding_dim: int = 128):
 
 
 def build_preprocess_config(db_cfg: Config) -> PreprocessConfig:
+    """Dispatch on the dataset's `transform:`/`transforms:` key
+    (reference: utils/eval_utils.py:70-87, utils/main_utils.py:151-165;
+    unknown values raise there and here).
+
+    Reference quirk mirrored deliberately: for 'crop+color' the
+    reference dispatch passes ONLY crop/num_frames/pad_missing/augment
+    (utils/eval_utils.py:80-85), so VideoPrep_Crop_CJ runs its DEFAULTS
+    — resize=(256,256) and color=(0.4,0.4,0.4,0.2) — and the config's
+    `resize:`/`color:` keys are ignored (the Kinetics linear probe's
+    `color: [0,0,0,0]` notwithstanding, its training frames ARE
+    color-jittered at the default strengths). We honor `resize:`
+    (it matches the default in every shipped config) but keep the
+    default color, matching the reference's actual train distribution."""
+    transform = str(
+        db_cfg.get("transform", db_cfg.get("transforms", "msc+color"))
+    ).strip()
+    if transform not in ("msc+color", "crop+color"):
+        raise ValueError(
+            f"unknown dataset transform {transform!r}: "
+            "expected 'msc+color' or 'crop+color' "
+            "(reference raises too, utils/eval_utils.py:86-87)"
+        )
+    if transform == "crop+color":
+        resize = db_cfg.get("resize", 256)
+        if isinstance(resize, (list, tuple)):
+            resize = tuple(int(r) for r in resize)
+        else:
+            resize = (int(resize), int(resize))
+        color = (0.4, 0.4, 0.4, 0.2)
+    else:
+        resize = (256, 256)
+        color = tuple(db_cfg.get("color", (0.4, 0.4, 0.4, 0.2)))
     return PreprocessConfig(
+        transform=transform,
         crop_size=int(db_cfg.get("crop_size", 224)),
         min_area=float(db_cfg.get("min_area", 0.08)),
-        color=tuple(db_cfg.get("color", (0.4, 0.4, 0.4, 0.2))),
+        color=color,
+        resize=resize,
+        jitter_order=str(db_cfg.get("jitter_order", "random")),
         audio_fps=int(db_cfg.get("audio_fps", 24000)),
         n_fft=int(db_cfg.get("n_fft", 512)),
         spectrogram_fps=float(db_cfg.get("spectrogram_fps", 100.0)),

@@ -17,6 +17,7 @@ view1_mem/view2_mem/avg_exp_score -> BankState).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 from typing import Any, Dict, Optional, Tuple
@@ -508,12 +509,26 @@ class CheckpointManager:
         if os.path.isfile(self._milestones_path):
             with open(self._milestones_path) as f:
                 self._milestones = {int(s) for s in f.read().split()}
+        # Distinct barrier namespace PER MANAGER: orbax's cross-process
+        # sync barriers are keyed by (prefix, operation, counter); two
+        # managers with the same (default-empty) prefix issuing concurrent
+        # async saves collide with FAILED_PRECONDITION "Barrier ... is
+        # already ongoing" under multi-process execution (the eval loop
+        # runs three managers — orbax / orbax_best / orbax_warmup — and
+        # saves to two of them back-to-back each epoch). Derive the
+        # prefix from the directory so every process computes the same
+        # prefix for the same manager and different ones for different
+        # managers.
+        prefix = hashlib.sha1(self.directory.encode()).hexdigest()[:12]
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep,
                 create=True,
                 should_keep_fn=lambda step: step in self._milestones,
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    barrier_sync_key_prefix=f"ckpt_{prefix}"
+                ),
             ),
         )
         # steps with an async write possibly still in flight (all_steps()

@@ -24,9 +24,20 @@ vs_baseline: ratio against BASELINE_PERF.json's clips_per_sec_per_chip
 (the derived PyTorch-GPU reference number at the same flagship shape; see
 that file for the derivation), else 0.
 
+Emission contract (round-5 hardening): the merged JSON line is printed and
+flushed after EVERY completed measurement — headline first — so a driver
+timeout can never erase the numbers already taken (the driver parses the
+tail; the last complete line wins). A wall-clock budget (BENCH_TIME_BUDGET
+seconds, default 2100) gates each secondary: when the remaining budget is
+smaller than that secondary's worst-case cost it is skipped with a stderr
+note instead of silently running the whole bench into the driver's
+timeout (round 4's official record was rc=124 / no data for exactly this
+reason).
+
 Env knobs: BENCH_BATCH, BENCH_STEPS, BENCH_WINDOWS, BENCH_DTYPE=bf16|f32,
 BENCH_SKIP_224, BENCH_SKIP_112, BENCH_SKIP_FINETUNE, BENCH_SKIP_MINING,
-BENCH_PEAK_TFLOPS, BENCH_COMPILE_CACHE.
+BENCH_SKIP_PIPELINE, BENCH_TIME_BUDGET, BENCH_PEAK_TFLOPS,
+BENCH_COMPILE_CACHE.
 """
 
 import json
@@ -394,6 +405,9 @@ def main():
         except Exception:
             pass
 
+    t_start = time.monotonic()
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "2100"))
+
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     windows = int(os.environ.get("BENCH_WINDOWS", "5"))
@@ -402,16 +416,6 @@ def main():
         sys.exit(f"BENCH_DTYPE must be bf16|f32, got {dtype_name!r}")
     dtype = {"bf16": jnp.bfloat16, "f32": None}[dtype_name]
 
-    results = {}
-    if not os.environ.get("BENCH_SKIP_224"):
-        results["224"] = measure(batch, 224, 8, steps, windows, dtype, dtype_name)
-    if not os.environ.get("BENCH_SKIP_112"):
-        results["112"] = measure(batch, 112, 8, steps, windows, dtype, dtype_name)
-
-    headline = results.get("224") or results.get("112") or {
-        "metric": "no_shape_measured", "value": 0.0, "unit": "",
-        "mfu": 0.0, "flops_per_step": 0.0,
-    }
     baseline = 0.0
     baseline_info = {}
     if os.path.isfile("BASELINE_PERF.json"):
@@ -421,56 +425,96 @@ def main():
         except Exception:
             baseline = 0.0
 
+    # headline: the 224 flagship shape (112 only as a fallback headline
+    # when 224 is explicitly skipped)
+    headline = None
+    headline_is_flagship = False
+    if not os.environ.get("BENCH_SKIP_224"):
+        headline = measure(batch, 224, 8, steps, windows, dtype, dtype_name)
+        headline_is_flagship = True
+    elif not os.environ.get("BENCH_SKIP_112"):
+        headline = measure(batch, 112, 8, steps, windows, dtype, dtype_name)
+    if headline is None:
+        headline = {"metric": "no_shape_measured", "value": 0.0, "unit": "",
+                    "mfu": 0.0, "flops_per_step": 0.0}
+
     out = dict(headline)
     out.pop("flops_per_step", None)
     # vs_baseline is only meaningful against the 224 flagship shape the
     # baseline file documents — comparing the 112 secondary against it
     # (BENCH_SKIP_224 runs) would inflate the ratio ~4x
-    headline_is_flagship = headline is results.get("224")
     out["vs_baseline"] = (
         round(headline["value"] / baseline, 3)
         if baseline > 0 and headline_is_flagship
         else 0.0
     )
-    out["secondary"] = {
-        k: {kk: v[kk] for kk in ("metric", "value", "mfu")}
-        for k, v in results.items()
-        if v is not headline
-    }
-    # secondaries are best-effort, but a broken measurement must be
-    # VISIBLE (stderr), not indistinguishable from BENCH_SKIP_*
-    if not os.environ.get("BENCH_SKIP_FINETUNE"):
-        try:
-            out["secondary"]["finetune"] = measure_finetune(
-                batch, steps, windows, dtype, dtype_name
-            )
-        except Exception as e:
-            print(f"bench: finetune secondary failed: {e!r}", file=sys.stderr)
-    if not os.environ.get("BENCH_SKIP_MINING"):
-        try:
-            out["secondary"]["mining"] = measure_mining()
-        except Exception as e:
-            print(f"bench: mining secondary failed: {e!r}", file=sys.stderr)
-    if not os.environ.get("BENCH_SKIP_PIPELINE"):
-        try:
-            workers = int(os.environ.get(
-                "BENCH_PIPELINE_WORKERS",
-                str(min(16, max(4, (os.cpu_count() or 1) * 4))),
-            ))
-            out["secondary"]["pipeline"] = measure_pipeline(
-                batch, 224, 8, max(2, windows // 2), dtype, dtype_name,
-                workers=workers,
-                loader_kind=os.environ.get("BENCH_PIPELINE_LOADER",
-                                           "threaded"),
-            )
-        except Exception as e:
-            print(f"bench: pipeline secondary failed: {e!r}", file=sys.stderr)
+    out["secondary"] = {}
     if baseline_info:
         out["baseline"] = {
             "clips_per_sec_per_chip": baseline,
+            # this is NOT a measured-vs-measured ratio: the reference
+            # number is derived (compute-roofline estimate for the torch
+            # V100 stack; see BASELINE_PERF.json for the derivation)
+            "baseline_kind": baseline_info.get("kind", "derived-estimate"),
             "hardware": baseline_info.get("hardware"),
         }
-    print(json.dumps(out))
+
+    def emit():
+        # the driver-facing record: re-print the MERGED line after every
+        # completed measurement and flush, so the numbers taken so far
+        # survive a driver timeout (it parses the tail; last line wins)
+        print(json.dumps(out), flush=True)
+
+    emit()  # the headline is on the record before any secondary starts
+
+    def run_secondary(name, est_cost, skip_env, fn):
+        """Best-effort + budget-gated: a broken measurement must be
+        VISIBLE (stderr), not indistinguishable from BENCH_SKIP_*; one
+        that can't finish inside the wall-clock budget is skipped so the
+        bench never runs itself into the driver's timeout."""
+        if os.environ.get(skip_env):
+            return
+        left = budget - (time.monotonic() - t_start)
+        if left < est_cost:
+            print(
+                f"bench: skipping {name} secondary: {left:.0f}s of budget "
+                f"left < est. {est_cost:.0f}s cost (BENCH_TIME_BUDGET="
+                f"{budget:.0f})",
+                file=sys.stderr,
+            )
+            return
+        try:
+            out["secondary"][name] = fn()
+        except Exception as e:
+            print(f"bench: {name} secondary failed: {e!r}", file=sys.stderr)
+        else:
+            emit()
+
+    # cost estimates are worst-case COLD (fresh compile through the
+    # tunnel); with a warm persistent cache each runs far faster
+    run_secondary(
+        "finetune", 420, "BENCH_SKIP_FINETUNE",
+        lambda: measure_finetune(batch, steps, windows, dtype, dtype_name),
+    )
+    run_secondary("mining", 240, "BENCH_SKIP_MINING", measure_mining)
+    if headline_is_flagship:
+        def _measure_112():
+            r = measure(batch, 112, 8, steps, windows, dtype, dtype_name)
+            return {k: r[k] for k in ("metric", "value", "mfu")}
+
+        run_secondary("112", 420, "BENCH_SKIP_112", _measure_112)
+    run_secondary(
+        "pipeline", 700, "BENCH_SKIP_PIPELINE",
+        lambda: measure_pipeline(
+            batch, 224, 8, max(2, windows // 2), dtype, dtype_name,
+            workers=int(os.environ.get(
+                "BENCH_PIPELINE_WORKERS",
+                str(min(16, max(4, (os.cpu_count() or 1) * 4))),
+            )),
+            loader_kind=os.environ.get("BENCH_PIPELINE_LOADER", "threaded"),
+        ),
+    )
+    emit()  # final merged record
 
 
 if __name__ == "__main__":

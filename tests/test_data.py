@@ -3,6 +3,7 @@ sharded loader semantics, device preprocessing shapes
 (reference semantics: datasets/video_db.py, utils/main_utils.py:138-228)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -419,3 +420,63 @@ def test_decode_size_reaches_backend_from_config():
                                 return_labels=True, fold=1)
     assert ds.backend.frame_hw == (48, 64)
     assert ds[0]["frames"].shape[1:] == (48, 64, 3)
+
+
+def test_build_preprocess_config_transform_dispatch():
+    """The `transform:`/`transforms:` config key must be HONORED (it was
+    silently dropped for four rounds) and unknown values must fail fast
+    (reference raises too, utils/eval_utils.py:86-87)."""
+    import pytest
+
+    from avid_cma_tpu.config import from_dict, load
+    from avid_cma_tpu.train.builders import build_preprocess_config
+
+    # pretrain configs carry `transforms:` (utils/main_utils.py)
+    pp = build_preprocess_config(from_dict(
+        {"transforms": "msc+color", "crop_size": 112,
+         "color": [0.4, 0.4, 0.4, 0.2], "min_area": 0.08}
+    ))
+    assert pp.transform == "msc+color" and pp.crop_size == 112
+
+    # the shipped Kinetics linear-probe recipe selects crop+color; the
+    # reference dispatch runs VideoPrep_Crop_CJ's DEFAULT color
+    # (0.4,0.4,0.4,0.2) — the config's color: [0,0,0,0] is NOT passed
+    # (utils/eval_utils.py:80-85)
+    cfg = load("configs/benchmark/kinetics/8x224x224-linear.yaml")
+    pp = build_preprocess_config(cfg.dataset)
+    assert pp.transform == "crop+color"
+    assert pp.resize == (256, 256)
+    assert pp.color == (0.4, 0.4, 0.4, 0.2)
+
+    with pytest.raises(ValueError, match="transform"):
+        build_preprocess_config(from_dict({"transform": "bogus+color"}))
+
+
+def test_preprocess_batch_crop_color_routing():
+    """preprocess_batch routes crop+color to the Crop_CJ branches (exact
+    resize + random/center crop) for train and eval."""
+    import jax
+
+    from avid_cma_tpu.data.pipelines import PreprocessConfig, preprocess_batch
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "frames": jnp.asarray(rng.integers(
+            0, 255, (2, 3, 80, 100, 3), dtype=np.uint8
+        )),
+        "index": jnp.arange(2, dtype=jnp.int32),
+    }
+    cfg = PreprocessConfig(transform="crop+color", crop_size=48,
+                           resize=(64, 64), video_dtype="float32")
+    out_tr = preprocess_batch(jax.random.key(0), batch, cfg, train=True)
+    out_ev = preprocess_batch(jax.random.key(0), batch, cfg, train=False)
+    assert out_tr["frames"].shape == (2, 3, 48, 48, 3)
+    assert out_ev["frames"].shape == (2, 3, 48, 48, 3)
+
+    bad = PreprocessConfig(transform="nope", crop_size=48)
+    try:
+        preprocess_batch(jax.random.key(0), batch, bad, train=True)
+    except ValueError as e:
+        assert "transform" in str(e)
+    else:
+        raise AssertionError("unknown transform must raise")

@@ -234,6 +234,40 @@ with open(out_path, "w") as f:
 """
 
 
+MULTI_MANAGER_WORKER = r"""
+import json, sys
+import jax
+import numpy as np
+
+proc_id, nprocs, port, out_path, root = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5]
+)
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=nprocs, process_id=proc_id,
+)
+
+from avid_cma_tpu.train.checkpoint import CheckpointManager
+
+# the eval loop's exact pattern (train/eval_loop.py on_epoch_end):
+# several managers, back-to-back ASYNC saves each epoch. Without a
+# per-manager barrier namespace orbax's cross-process sync barriers
+# collide: FAILED_PRECONDITION "Barrier ...:set_value_start is already
+# ongoing" — a real multi-host finetune crash, not test flake.
+mgrs = [CheckpointManager(f"{root}/m{i}") for i in range(3)]
+state = {"w": np.arange(8, dtype=np.float32), "step": 0}
+for step in range(3):
+    for m in mgrs:
+        m.save(step, {**state, "step": step})
+for m in mgrs:
+    m.wait_until_finished()
+restored = mgrs[1].restore({**state, "step": 0}, step=2)
+with open(out_path, "w") as f:
+    json.dump({"ok": True, "step": int(restored["step"])}, f)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -316,6 +350,22 @@ def test_two_process_run_pretraining_smoke(tmp_path):
     # orbax checkpoints actually landed (multi-process distributed save)
     ckpt_dir = model_dir / "smoke-mp" / "orbax"
     assert ckpt_dir.exists() and any(ckpt_dir.iterdir())
+
+
+def test_two_process_concurrent_multi_manager_saves(tmp_path):
+    """Regression: several CheckpointManagers issuing back-to-back ASYNC
+    saves under 2 processes must not collide on orbax's cross-process
+    barrier keys (each manager gets its own barrier_sync_key_prefix,
+    train/checkpoint.py). Without the per-manager namespace this fails
+    FAILED_PRECONDITION 'Barrier ... is already ongoing' — the crash the
+    eval loop's orbax/orbax_best/orbax_warmup trio hits on real
+    multi-host runs."""
+    root = tmp_path / "ckpts"
+    root.mkdir()
+    results = _launch(MULTI_MANAGER_WORKER, tmp_path,
+                      extra_args=(str(root),), timeout=600)
+    for r in results:
+        assert r["ok"] and r["step"] == 2
 
 
 def test_two_process_finetune_eval_smoke(tmp_path):
