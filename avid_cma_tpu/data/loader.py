@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Dict, Iterator
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 
@@ -215,6 +215,66 @@ class DataLoader:
                 pass
             for w in workers:
                 w.join(timeout=1.0)
+
+
+class CachedDataLoader:
+    """Decode-once, replay-from-RAM wrapper around any loader.
+
+    The first full drain (per start-batch offset 0) stores the collated
+    batches; later epochs replay them from host memory with zero decode
+    cost. Trades the inner loader's per-epoch reshuffle and augmentation
+    re-draws for decode-free epochs — the right trade when (a) the
+    corpus is small enough to hold decoded (host decode is the
+    bottleneck, e.g. few-class probes on a weak host), or (b) measuring
+    the train loop itself at device rate (scripts/prod_loop_timing.py:
+    the reference has no analogue; its DataLoader re-decodes every
+    epoch, utils/main_utils.py:214-228). Augmentation randomness is NOT
+    frozen: device-side preprocessing draws fresh keys per step either
+    way (data/pipelines.py), only the raw decoded clips repeat.
+
+    Memory: one epoch of raw batches (frames uint8 + waveforms f32);
+    e.g. 2048 clips @ 8x256x320x3 + 2 s audio ~ 4.4 GB.
+    """
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.dataset = inner.dataset
+        self._cache: Optional[list] = None
+        self._start_batch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        # only reaches the inner loader before the cache is filled (the
+        # fill epoch's sampler order is the one replayed)
+        if self._cache is None:
+            self.inner.set_epoch(epoch)
+
+    def set_start_batch(self, n: int) -> None:
+        self._start_batch = int(n)
+
+    def __len__(self) -> int:
+        return len(self._cache) if self._cache is not None else len(self.inner)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        start = self._start_batch
+        self._start_batch = 0
+        if self._cache is None:
+            if start:
+                # a resume mid-fill would cache a truncated epoch and
+                # silently shrink every later epoch; fill whole, skip
+                # while yielding
+                cache: list = []
+                for b in self.inner:
+                    cache.append(b)
+                self._cache = cache
+                yield from cache[start:]
+                return
+            cache = []
+            for b in self.inner:
+                cache.append(b)
+                yield b
+            self._cache = cache
+            return
+        yield from self._cache[start:]
 
 
 class MultiprocessDataLoader:

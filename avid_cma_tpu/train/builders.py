@@ -192,8 +192,17 @@ def build_dataloader(
         loader = MultiprocessDataLoader(dataset, **common)
     elif kind == "threaded":
         loader = DataLoader(dataset, **common)
+    elif kind == "cached":
+        # decode-once replay (data/loader.py:CachedDataLoader): trades
+        # per-epoch reshuffle for decode-free epochs — small corpora on
+        # decode-bound hosts, and loop-overhead measurement
+        from avid_cma_tpu.data.loader import CachedDataLoader
+
+        loader = CachedDataLoader(DataLoader(dataset, **common))
     else:
-        raise ValueError(f"unknown loader kind '{kind}' (threaded|native)")
+        raise ValueError(
+            f"unknown loader kind '{kind}' (threaded|native|cached)"
+        )
     if len(loader) == 0:
         raise ValueError(
             f"empty loader: dataset has {len(dataset)} items but "

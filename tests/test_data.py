@@ -480,3 +480,59 @@ def test_preprocess_batch_crop_color_routing():
         assert "transform" in str(e)
     else:
         raise AssertionError("unknown transform must raise")
+
+
+def test_cached_loader_replays_first_epoch():
+    """kind='cached' decodes once and replays: epoch 0's batches are
+    stored and every later epoch yields the identical raw batches with
+    zero dataset decodes; set_start_batch skips on replay (mid-epoch
+    resume)."""
+    from avid_cma_tpu.data.loader import CachedDataLoader, DataLoader
+
+    ds = make_ds(mode="clip")
+    calls = {"n": 0}
+    orig = ds.__getitem__
+
+    class Counting:
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            calls["n"] += 1
+            return orig(i)
+
+    dl = CachedDataLoader(
+        DataLoader(Counting(), batch_size=2, shuffle=True, num_workers=2)
+    )
+    dl.set_epoch(0)
+    first = [b["index"].copy() for b in dl]
+    decodes_after_fill = calls["n"]
+    assert decodes_after_fill == 6
+    dl.set_epoch(1)  # replay ignores reshuffle by design
+    second = [b["index"].copy() for b in dl]
+    assert calls["n"] == decodes_after_fill  # no new decodes
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+    dl.set_start_batch(2)
+    rest = list(dl)
+    assert len(rest) == len(first) - 2
+    np.testing.assert_array_equal(rest[0]["index"], first[2])
+
+
+def test_cached_loader_via_builder():
+    from avid_cma_tpu.config import from_dict
+    from avid_cma_tpu.data.loader import CachedDataLoader
+    from avid_cma_tpu.train import builders
+
+    db = from_dict({
+        "name": "kinetics", "backend": "synthetic", "synthetic_size": 8,
+        "batch_size": 4, "video_clip_duration": 0.25, "video_fps": 8.0,
+        "crop_size": 32, "audio_clip_duration": 0.5, "audio_fps": 24000,
+        "spectrogram_fps": 100.0, "n_fft": 512,
+        "train": {"split": "train", "use_augmentation": True,
+                  "drop_last": True, "clips_per_video": 1},
+    })
+    ds = builders.build_dataset(db, db.train, mode="clip")
+    dl = builders.build_dataloader(ds, db, db.train, kind="cached")
+    assert isinstance(dl, CachedDataLoader)
+    assert len(list(dl)) == 2
