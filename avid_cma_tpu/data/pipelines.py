@@ -39,8 +39,12 @@ class PreprocessConfig:
     # preprocessing.py:64)
     resize: Tuple[int, int] = (256, 256)
     # jitter op order: 'random' = per-clip shuffled like the reference
-    # (video_transforms.py:462), 'canonical' = fixed b->c->s->h order
-    jitter_order: str = "random"
+    # (video_transforms.py:462) — EXACT distribution parity, but under
+    # vmap every lax.switch step evaluates all four ops, costing ~8% of
+    # flagship-step throughput (PERF.md A/B); 'canonical' = fixed
+    # b->c->s->h order, measured end-metric-neutral on the learnable
+    # dataset (PARITY.md divergence #1). Default: the fast one.
+    jitter_order: str = "canonical"
     audio_fps: int = 24000
     n_fft: int = 512
     spectrogram_fps: float = 100.0

@@ -15,9 +15,11 @@ VideoPrep_Crop_CJ) built from utils/videotransforms/*:
   * ColorJitter(brightness, contrast, saturation, hue) with the same
     factors for every frame of a clip, the ops applied in a RANDOM ORDER
     per clip (video_transforms.py:438-475) — implemented in-graph as a
-    per-step `lax.switch` over the active ops ("random", the default
-    distribution-parity mode) with a "canonical" fixed-order mode kept
-    for cheapness comparisons
+    per-step `lax.switch` over the active ops (`order="random"`, the
+    exact distribution-parity mode; ~8% of flagship-step throughput
+    because vmap evaluates every branch). Default "canonical" applies
+    the fixed b->c->s->h order, measured end-metric-neutral (PARITY.md
+    divergence #1, PERF.md A/B)
   * ClipToTensor /255 + ImageNet mean/std normalize (volume_transforms,
     tensor_transforms)
   * eval path: short-side Resize(crop/0.875) + CenterCrop (MSC), exact
@@ -188,12 +190,12 @@ def color_jitter_clip(
     contrast: float,
     saturation: float,
     hue: float,
-    order: str = "random",
+    order: str = "canonical",
 ) -> jnp.ndarray:
     """Clip-consistent color jitter on float RGB in [0,1]
     (video_transforms.py:438-475; factors sampled once per clip).
 
-    order='random' (default, reference parity): the active ops are
+    order='random' (reference parity): the active ops are
     applied in a uniformly random order per clip (the reference
     random.shuffle's its op list per call, video_transforms.py:462) —
     in-graph as one `lax.switch` per step over the active ops. Under
@@ -202,7 +204,9 @@ def color_jitter_clip(
     extra cost is VPU ALU only, not HBM traffic (measured ~neutral,
     PERF.md). order='canonical' applies brightness->contrast->
     saturation->hue in that fixed order (rounds 1-4 behavior; same
-    factor streams, so tests can A/B the two orders exactly)."""
+    factor streams, so tests can A/B the two orders exactly). Default
+    'canonical': the order effect is end-metric-neutral (PARITY.md #1)
+    and 'random' costs ~8% of flagship-step throughput (PERF.md)."""
     kb, kc, ks, kh, kp = jax.random.split(key, 5)
     # factors are cast to the clip dtype: jax.random.uniform returns a
     # STRONG f32 scalar, and bf16 * f32 promotes — without the cast the
@@ -287,7 +291,7 @@ def augment_clips_train(
     color: Tuple[float, float, float, float] = (0.4, 0.4, 0.4, 0.2),
     flip: bool = True,
     dtype: jnp.dtype = jnp.float32,
-    jitter_order: str = "random",
+    jitter_order: str = "canonical",
 ) -> jnp.ndarray:
     """Training path of VideoPrep_MSC_CJ (preprocessing.py:33-49) for a
     uint8 batch (B, T, H, W, C) -> normalized float (B, T, S, S, C).
@@ -324,7 +328,7 @@ def crop_augment_clips_train(
     color: Tuple[float, float, float, float] = (0.4, 0.4, 0.4, 0.2),
     flip: bool = True,
     dtype: jnp.dtype = jnp.float32,
-    jitter_order: str = "random",
+    jitter_order: str = "canonical",
 ) -> jnp.ndarray:
     """Training path of VideoPrep_Crop_CJ (preprocessing.py:83-90,
     selected by `transform: crop+color` at utils/eval_utils.py:79-86 —

@@ -90,7 +90,7 @@ def build_preprocess_config(db_cfg: Config) -> PreprocessConfig:
         min_area=float(db_cfg.get("min_area", 0.08)),
         color=color,
         resize=resize,
-        jitter_order=str(db_cfg.get("jitter_order", "random")),
+        jitter_order=str(db_cfg.get("jitter_order", "canonical")),
         audio_fps=int(db_cfg.get("audio_fps", 24000)),
         n_fft=int(db_cfg.get("n_fft", 512)),
         spectrogram_fps=float(db_cfg.get("spectrogram_fps", 100.0)),

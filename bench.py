@@ -106,8 +106,14 @@ def measure(batch, crop, frames, steps, windows, dtype, dtype_name):
     )
     cfg = AVIDConfig(num_data=232067, embedding_dim=128, num_negatives=1024,
                      momentum=0.5)
-    pp = PreprocessConfig(crop_size=crop, audio_fps=24000, n_fft=512,
-                          spectrogram_fps=100.0, audio_clip_duration=2.0)
+    pp = PreprocessConfig(
+        crop_size=crop, audio_fps=24000, n_fft=512,
+        spectrogram_fps=100.0, audio_clip_duration=2.0,
+        # BENCH_JITTER_ORDER=random|canonical A/Bs the reference-parity
+        # shuffled jitter order against the fixed order in the full
+        # fused step (PERF.md records both)
+        jitter_order=os.environ.get("BENCH_JITTER_ORDER", "random"),
+    )
 
     # raw decode output: short side ~1.14x crop (reference MSC crop source)
     raw_h, raw_w = int(crop * 8 / 7), int(crop * 10 / 7)

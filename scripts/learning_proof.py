@@ -64,6 +64,7 @@ def build_cfg(args, name=None, loss=None, model_ckpt=None, epochs=None):
         "dataset": {
             "name": "synthetic_av",
             "num_classes": args.classes,
+            "jitter_order": args.jitter_order,
             "synthetic_size": args.train_size,
             "batch_size": args.batch,
             "video_clip_duration": 0.5,
@@ -301,6 +302,12 @@ def main(argv=None) -> int:
                          "fresh (default wipes the run dir: the artifact "
                          "must certify the current code, and resuming a "
                          "COMPLETED run would evaluate stale weights)")
+    ap.add_argument("--jitter-order", choices=["canonical", "random"],
+                    default="canonical",
+                    help="color-jitter op order for the pretrain phase "
+                         "(the A/B knob behind PARITY.md divergence #1: "
+                         "'random' is the reference's per-clip shuffled "
+                         "order, 'canonical' the fast fixed order)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
     if args.out is None:
