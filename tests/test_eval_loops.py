@@ -207,3 +207,66 @@ def test_warmup_optimizer_freezes_backbone():
     assert not np.array_equal(
         np.asarray(state.params["classifier"]["kernel"]), head_before
     )
+
+
+def test_linear_probe_kinetics_crop_color_route(tmp_path):
+    """The Kinetics linear-probe recipe (transform: crop+color,
+    configs/benchmark/kinetics/8x224x224-linear.yaml) must execute the
+    VideoPrep_Crop_CJ train branch — the path that was silently replaced
+    by MSC cropping for four rounds. Pins both the routing (the Crop_CJ
+    device function is traced) and the end-to-end run."""
+    from avid_cma_tpu.data import pipelines
+    from avid_cma_tpu.train.eval_loop import run_linear_probe
+
+    split = {"split": "train", "mode": "clip", "clips_per_video": 1,
+             "use_augmentation": True, "use_shuffle": True,
+             "drop_last": True}
+    test = {"split": "val", "mode": "clip", "clips_per_video": 1,
+            "use_augmentation": False, "use_shuffle": False,
+            "drop_last": False}
+    ecfg = from_dict({
+        "seed": 0, "num_workers": 1, "test_only": False, "resume": False,
+        "benchmark": {"name": "kin-probe-smoke"},
+        "dataset": {
+            "name": "kinetics", "backend": "synthetic",
+            "synthetic_size": 16, "batch_size": 8, "clip_duration": 0.25,
+            "video_fps": 8.0, "crop_size": 32, "resize": 40,
+            "transform": "crop+color",
+            "train": split, "test": test,
+        },
+        "optimizer": {
+            "name": "adam", "num_epochs": 1, "weight_decay": 0.0,
+            "lr": {"name": "multistep", "base_lr": 1e-3, "gamma": 1.0,
+                   "milestones": [1]},
+        },
+        "model": {
+            "name": "MOST",
+            "args": {"n_classes": 400, "feat_names": ["pool"],
+                     "pooling_ops": [None], "l2_norm": False,
+                     "use_bn": True, "use_dropout": False},
+        },
+    })
+    traced = {"train": 0, "eval": 0}
+    orig_train = pipelines.crop_augment_clips_train
+    orig_eval = pipelines.crop_augment_clips_eval
+
+    def spy_train(*a, **k):
+        traced["train"] += 1
+        return orig_train(*a, **k)
+
+    def spy_eval(*a, **k):
+        traced["eval"] += 1
+        return orig_eval(*a, **k)
+
+    pipelines.crop_augment_clips_train = spy_train
+    pipelines.crop_augment_clips_eval = spy_eval
+    try:
+        results = run_linear_probe(ecfg, model_cfg(tmp_path), fold=1,
+                                   debug=True)
+    finally:
+        pipelines.crop_augment_clips_train = orig_train
+        pipelines.crop_augment_clips_eval = orig_eval
+    assert traced["train"] >= 1, "Crop_CJ train branch never traced"
+    assert traced["eval"] >= 1, "Crop_CJ eval branch never traced"
+    assert "clip@1" in results["pool"]
+    assert np.isfinite(results["pool"]["clip@1"])
