@@ -129,10 +129,24 @@ def test_recorded_cma_learnproof_artifact():
         r = json.load(f)
     assert r["criterion"] == "avid_cma", r
     assert r["pass"], r
-    assert r["pass_retrieval"] and r["pass_probe"] and r["pass_mining"], r
-    assert r["mined_purity"] >= (
-        r["thresholds"]["purity_factor"] * r["chance_purity"]
+    t = r["thresholds"]
+    # AVID phase: the full gates (alignment generalizes + class transfer)
+    avid = r["avid"]
+    assert avid["pass_retrieval"] and avid["pass_probe"], r
+    r1 = min(avid["retrieval"]["v2a"]["R@1"],
+             avid["retrieval"]["a2v"]["R@1"])
+    assert r1 >= t["r1_factor"] * avid["chance_r1_pct"], r
+    # CMA phase: mining premise on the init banks, class transfer
+    # retained, retrieval above the retention gate (positive-set
+    # expansion trades instance alignment for class structure — see the
+    # calibration note in scripts/learning_proof.py)
+    cma = r["cma"]
+    assert cma["pass_mining"] and cma["pass_probe"], r
+    assert cma["pass_retrieval"], r
+    assert cma["mined_purity_init"] >= (
+        t["purity_factor"] * cma["chance_purity"]
     ), r
+    assert cma["probe_top1"] >= t["probe_factor"] * cma["chance_top1"], r
 
 
 @pytest.mark.skipif(
