@@ -17,12 +17,42 @@ from avid_cma_tpu.data import DataLoader, PreprocessConfig
 from avid_cma_tpu.registry import CRITERIONS, DATASETS, MODELS
 
 
-def build_model(model_cfg: Config, dtype=None):
+def resolve_compute_dtype(spec=None):
+    """Model COMPUTATION dtype (params stay f32 — flax keeps
+    param_dtype separate, so checkpoints are unchanged): 'auto' (the
+    default) = bfloat16 on accelerators, float32 on CPU (where the
+    golden/parity tests run); 'float32'/'bfloat16' explicit.
+
+    Round-5 measurement note: before this resolution existed, bench.py
+    passed bfloat16 explicitly while the PRODUCTION loops built models
+    with dtype=None (float32) — the deployed pretrain step silently ran
+    1.7x slower than the benchmarked one (63 -> 106 ms/step at the
+    flagship shape; caught by scripts/prod_loop_timing.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    if spec in (None, "auto"):
+        return None if jax.default_backend() == "cpu" else jnp.bfloat16
+    if spec in ("float32", "f32"):
+        return None  # flax modules default to f32 computation
+    if spec in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(
+        f"unknown model dtype {spec!r}: expected auto|float32|bfloat16"
+    )
+
+
+def build_model(model_cfg: Config, dtype="config"):
     """reference: utils/main_utils.py:74-93 (arch registry lookup).
     The model `checkpoint` arg (backbone warm-start) is resolved by the
-    caller via train.checkpoint.import_model_pth_tar."""
+    caller via train.checkpoint.import_model_pth_tar. dtype='config'
+    resolves the computation dtype from `model.dtype` (default 'auto' —
+    bf16 on TPU); pass an explicit jnp dtype or None (f32) to
+    override."""
     args = dict(model_cfg.get("args", {}))
     args.pop("checkpoint", None)
+    if dtype == "config":
+        dtype = resolve_compute_dtype(model_cfg.get("dtype", "auto"))
     return MODELS.get(model_cfg["arch"])(**args, dtype=dtype)
 
 

@@ -223,7 +223,14 @@ def _load_backbone(model_cfg: Config, which: str = "video_model",
     from avid_cma_tpu.registry import MODELS
 
     args = model_cfg["args"]
-    backbone = MODELS.get(args["video_backbone"])(**dict(args["video_backbone_args"]))
+    # same computation-dtype resolution as the pretrain loop (bf16 on
+    # TPU unless model.dtype overrides; params stay f32 so imported
+    # checkpoints are untouched) — the benchmark protocol's hot loop
+    # runs at the same precision the pretrain recipes train at
+    backbone = MODELS.get(args["video_backbone"])(
+        **dict(args["video_backbone_args"]),
+        dtype=builders.resolve_compute_dtype(model_cfg.get("dtype", "auto")),
+    )
     variables = None
     if not weights:
         return backbone, variables
@@ -553,9 +560,23 @@ def _train_epochs(
         pending = []
 
         def drain():
-            for metrics, logits, labels in pending:
+            # minimize D2H round-trips: per-item float() fetches
+            # serialize one RPC per batch (~40 ms each on a tunneled
+            # runtime — the same pathology measured and fixed in the
+            # pretrain loop's drain_losses, train/loop.py). Scalars are
+            # stacked on device and fetched once; logits copies are
+            # started async so their latencies overlap.
+            if not pending:
+                return
+            for _, logits, _ in pending:
+                if track_accuracy and hasattr(logits, "copy_to_host_async"):
+                    logits.copy_to_host_async()
+            losses = np.asarray(
+                jnp.stack([m["loss"] for m, _, _ in pending])
+            )
+            for (metrics, logits, labels), lv in zip(pending, losses):
                 n = labels.shape[0]
-                loss_m.update(float(metrics["loss"]), n=n)
+                loss_m.update(float(lv), n=n)
                 if track_accuracy:
                     # logits come back data-sharded: this process's rows
                     # pair with its local labels

@@ -283,8 +283,18 @@ def run_pretraining(cfg: Config, debug: bool = False) -> TrainState:
                 start_it, skip_batches = skip_batches, 0
 
         def drain_losses():
-            for arr, n in pending_losses:
-                meters["loss"].update(float(arr), n=n)
+            # ONE device round-trip for the whole pending window: a
+            # per-array float() fetch serializes a D2H RPC per batch
+            # (~40 ms each through a tunneled runtime — measured as a
+            # 43 ms/batch, 41% loop overhead by scripts/
+            # prod_loop_timing.py before this fix; micro-D2H latency
+            # hiding matters on local PCIe hosts too). Stacking is one
+            # tiny async dispatch; the copy fetches one (k,) array.
+            if not pending_losses:
+                return
+            vals = np.asarray(jnp.stack([a for a, _ in pending_losses]))
+            for v, (_, n) in zip(vals, pending_losses):
+                meters["loss"].update(float(v), n=n)
             pending_losses.clear()
 
         # discard fallback for loaders without set_start_batch: skip on

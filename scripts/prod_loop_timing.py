@@ -41,7 +41,7 @@ def build_cfg(args, model_dir):
     from avid_cma_tpu.config import _wrap
 
     return _wrap({
-        "seed": 0, "num_workers": args.workers, "print_freq": 16,
+        "seed": 0, "num_workers": args.workers, "print_freq": args.print_freq,
         "log2tb": False, "resume": False, "quiet": False,  # train.log is parsed below
         "loader": "cached",
         "test_freq": args.test_freq,
@@ -114,10 +114,15 @@ def main(argv=None) -> int:
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--test-freq", type=int, default=3)
     ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--print-freq", type=int, default=16)
     ap.add_argument("--crop", type=int, default=224)
     ap.add_argument("--depth", type=int, default=18)
     ap.add_argument("--negatives", type=int, default=1024)
     ap.add_argument("--num-data", type=int, default=232_067)
+    ap.add_argument("--no-save", action="store_true",
+                    help="stub out checkpoint saves (attribution variant:"
+                         " isolates the per-epoch save's state D2H, which"
+                         " on this tunneled host costs ~1.5 s/epoch)")
     ap.add_argument("--device-cache", action="store_true", default=True)
     ap.add_argument("--no-device-cache", dest="device_cache",
                     action="store_false",
@@ -146,18 +151,36 @@ def main(argv=None) -> int:
         # the loop's own overhead (dispatch cadence, meter drains, async
         # checkpoint saves, test phases). ~4 GB HBM for 64 x 63 MB.
         real_prefetch = loop_mod.device_prefetch
-        caches = {}
+        cache = {"batches": [], "filled": False}
 
-        def caching_prefetch(loader, mesh, *a, **kw):
-            c = caches.setdefault(id(loader), [])
-            if c:
-                yield from c
+        def caching_prefetch(src, mesh, *a, **kw):
+            # the train loop passes a fresh `iter(loader)` every epoch
+            # (no __len__); the test phase passes the loader object
+            # itself. Cache ONLY the train stream (with the cached host
+            # loader its batches are identical every epoch) — caching
+            # the test loader too doubles the resident bytes and
+            # RESOURCE_EXHAUSTs the time-sliced chip; test phases
+            # stream through real H2D
+            if hasattr(src, "__len__"):
+                yield from real_prefetch(src, mesh, *a, **kw)
                 return
-            for b in real_prefetch(loader, mesh, *a, **kw):
-                c.append(b)
+            if cache["filled"]:
+                yield from cache["batches"]
+                return
+            for b in real_prefetch(src, mesh, *a, **kw):
+                cache["batches"].append(b)
                 yield b
+            cache["filled"] = True
 
         loop_mod.device_prefetch = caching_prefetch
+
+    if args.no_save:
+        from avid_cma_tpu.train import checkpoint as ckpt_mod
+
+        ckpt_mod.CheckpointManager.save = (
+            lambda self, step, state, **kw: True
+        )
+        ckpt_mod.CheckpointManager.wait_until_finished = lambda self: None
 
     t0 = time.time()
     run_pretraining(build_cfg(args, args.model_dir))
