@@ -174,8 +174,13 @@ def avid_forward(
     bank access goes through one-psum sharded gathers.
     """
     xmodal, wmodal = cfg.xModal_coeff > 0, cfg.wModal_coeff > 0
-    video_emb = l2_normalize(video_emb)
-    audio_emb = l2_normalize(audio_emb)
+    # loss math is ALWAYS f32: bf16 embeddings quantize unit-vector
+    # cosines to ~0.004 steps — coarser than the spread separating hard
+    # instances, enough to collapse instance discrimination outright
+    # (see models/av_wrapper.py Head; the head already emits f32, this
+    # cast is the safety net for custom models that don't)
+    video_emb = l2_normalize(video_emb.astype(jnp.float32))
+    audio_emb = l2_normalize(audio_emb.astype(jnp.float32))
 
     bank_v = jax.lax.stop_gradient(state.view1_mem)
     bank_a = jax.lax.stop_gradient(state.view2_mem)

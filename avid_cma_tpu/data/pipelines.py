@@ -42,8 +42,9 @@ class PreprocessConfig:
     # (video_transforms.py:462) — EXACT distribution parity, but under
     # vmap every lax.switch step evaluates all four ops, costing ~8% of
     # flagship-step throughput (PERF.md A/B); 'canonical' = fixed
-    # b->c->s->h order, measured end-metric-neutral on the learnable
-    # dataset (PARITY.md divergence #1). Default: the fast one.
+    # b->c->s->h order (an aug-order permutation, expected metric-
+    # neutral; A/B harness: scripts/learning_proof.py --jitter-order;
+    # PARITY.md divergence #1). Default: the fast one.
     jitter_order: str = "canonical"
     audio_fps: int = 24000
     n_fft: int = 512

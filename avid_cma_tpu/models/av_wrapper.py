@@ -16,16 +16,33 @@ from avid_cma_tpu.registry import MODELS
 
 
 class Head(nn.Module):
-    """MLP projection head (reference: models/av_wrapper.py:17-33)."""
+    """MLP projection head (reference: models/av_wrapper.py:17-33).
+
+    ALWAYS computes in float32, whatever `dtype` the backbones run at.
+    Instance discrimination lives or dies on sub-ulp-of-bf16 embedding
+    differences: unit-normalized 128-d embeddings quantize to ~0.004
+    cosine steps in bf16, coarser than the spread separating hard
+    instances — a full bf16 AVID pretrain on the learnable dataset
+    collapsed every instance to ONE embedding (bank rows at cos 0.9998,
+    retrieval/probe at exact chance; round-5 LEARNPROOF forensics)
+    while f32 learns 6-7x chance. The standard contrastive
+    mixed-precision split: backbone convs (99.9% of FLOPs) in bf16,
+    projection head + loss in f32 — three tiny Dense layers, measured
+    throughput-neutral at the flagship shape (PERF.md). `dtype` is kept
+    in the signature so a config can force bf16 heads for A/Bs."""
 
     proj_dims: Sequence[int]
     dtype: jnp.dtype | None = None
+    force_f32: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dims = list(self.proj_dims)
+        dtype = None if self.force_f32 else self.dtype
+        if self.force_f32:
+            x = x.astype(jnp.float32)
         for i, d in enumerate(dims):
-            x = nn.Dense(d, dtype=self.dtype, name=f"linear{i}")(x)
+            x = nn.Dense(d, dtype=dtype, name=f"linear{i}")(x)
             if i < len(dims) - 1:
                 x = nn.relu(x)
         return x

@@ -18,8 +18,9 @@ VideoPrep_Crop_CJ) built from utils/videotransforms/*:
     per-step `lax.switch` over the active ops (`order="random"`, the
     exact distribution-parity mode; ~8% of flagship-step throughput
     because vmap evaluates every branch). Default "canonical" applies
-    the fixed b->c->s->h order, measured end-metric-neutral (PARITY.md
-    divergence #1, PERF.md A/B)
+    the fixed b->c->s->h order — an aug-order permutation, expected
+    metric-neutral (A/B harness: scripts/learning_proof.py
+    --jitter-order; PARITY.md divergence #1, PERF.md)
   * ClipToTensor /255 + ImageNet mean/std normalize (volume_transforms,
     tensor_transforms)
   * eval path: short-side Resize(crop/0.875) + CenterCrop (MSC), exact
@@ -205,8 +206,9 @@ def color_jitter_clip(
     PERF.md). order='canonical' applies brightness->contrast->
     saturation->hue in that fixed order (rounds 1-4 behavior; same
     factor streams, so tests can A/B the two orders exactly). Default
-    'canonical': the order effect is end-metric-neutral (PARITY.md #1)
-    and 'random' costs ~8% of flagship-step throughput (PERF.md)."""
+    'canonical': an aug-order permutation (expected metric-neutral,
+    PARITY.md #1) where 'random' costs ~8% of flagship-step throughput
+    (PERF.md)."""
     kb, kc, ks, kh, kp = jax.random.split(key, 5)
     # factors are cast to the clip dtype: jax.random.uniform returns a
     # STRONG f32 scalar, and bf16 * f32 promotes — without the cast the

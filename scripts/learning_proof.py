@@ -108,6 +108,7 @@ def build_cfg(args, name=None, loss=None, model_ckpt=None, epochs=None,
             "name": name if name is not None else args.name,
             "model_dir": args.model_dir,
             "arch": "av_wrapper",
+            "dtype": args.dtype,
             "args": model_args,
         },
         "loss": loss if loss is not None else {
@@ -361,6 +362,20 @@ def main(argv=None) -> int:
                          "fresh (default wipes the run dir: the artifact "
                          "must certify the current code, and resuming a "
                          "COMPLETED run would evaluate stale weights)")
+    ap.add_argument("--dtype", choices=["float32", "bfloat16", "auto"],
+                    default="float32",
+                    help="model computation dtype for the proof. Default "
+                         "float32: the proof's instance latent is a "
+                         "1/128-resolution continuous scalar (sub-"
+                         "spectrogram-bin audio frequency, 5-degree/clip "
+                         "grating phase) — a deliberately precision-hard "
+                         "diagnostic that bf16 backbones cannot thread "
+                         "through 10 conv layers (measured: bf16 probe "
+                         "transfer is fine at 6.6x chance but instance "
+                         "retrieval collapses; LEARNPROOF_BF16.json). "
+                         "Real corpora separate instances by gross "
+                         "appearance; bf16 stays the production default "
+                         "with the bf16 probe gate as its evidence")
     ap.add_argument("--jitter-order", choices=["canonical", "random"],
                     default="canonical",
                     help="color-jitter op order for the pretrain phase "

@@ -185,3 +185,23 @@ def test_cma_learning_proof_end_to_end(tmp_path):
         "--out", str(tmp_path / "LEARNPROOF_CMA.json"),
     ])
     assert rc == 0
+
+
+def test_recorded_bf16_learnproof_artifact():
+    """LEARNPROOF_BF16.json: class-transfer evidence for the PRODUCTION
+    dtype (bfloat16 backbone + float32 projection head/loss). The
+    instance-retrieval gate is f32-only by design: the proof dataset's
+    instance latent is a 1/128-resolution continuous scalar — a
+    precision diagnostic real corpora don't pose (see
+    scripts/learning_proof.py --dtype)."""
+    path = os.path.join(REPO, "LEARNPROOF_BF16.json")
+    if not os.path.isfile(path):
+        pytest.skip("LEARNPROOF_BF16.json not recorded — run "
+                    "scripts/learning_proof.py --dtype bfloat16 on a "
+                    "device host")
+    with open(path) as f:
+        r = json.load(f)
+    assert r["dtype"] == "bfloat16", r
+    assert r["probe_top1"] >= (
+        r["thresholds"]["probe_factor"] * r["chance_top1"]
+    ), r
