@@ -109,10 +109,11 @@ def measure(batch, crop, frames, steps, windows, dtype, dtype_name):
     pp = PreprocessConfig(
         crop_size=crop, audio_fps=24000, n_fft=512,
         spectrogram_fps=100.0, audio_clip_duration=2.0,
-        # BENCH_JITTER_ORDER=random|canonical A/Bs the reference-parity
-        # shuffled jitter order against the fixed order in the full
-        # fused step (PERF.md records both)
-        jitter_order=os.environ.get("BENCH_JITTER_ORDER", "random"),
+        # default matches the PRODUCTION default (canonical);
+        # BENCH_JITTER_ORDER=random A/Bs the reference-parity shuffled
+        # order in the full fused step (PERF.md records both: 507.6
+        # canonical vs 464.6 random)
+        jitter_order=os.environ.get("BENCH_JITTER_ORDER", "canonical"),
     )
 
     # raw decode output: short side ~1.14x crop (reference MSC crop source)
