@@ -536,3 +536,18 @@ def test_cached_loader_via_builder():
     dl = builders.build_dataloader(ds, db, db.train, kind="cached")
     assert isinstance(dl, CachedDataLoader)
     assert len(list(dl)) == 2
+
+
+def test_resolve_compute_dtype():
+    """model.dtype resolution: 'auto' = bf16 on accelerators / f32 on
+    CPU (this test runs under the CPU pin), explicit values override,
+    unknown values raise (the round-5 f32-production-loop bug was a
+    silent dtype=None default — see PERF.md)."""
+    from avid_cma_tpu.train.builders import resolve_compute_dtype
+
+    assert resolve_compute_dtype("auto") is None  # CPU here
+    assert resolve_compute_dtype(None) is None
+    assert resolve_compute_dtype("float32") is None
+    assert resolve_compute_dtype("bfloat16") == jnp.bfloat16
+    with pytest.raises(ValueError, match="dtype"):
+        resolve_compute_dtype("fp8")
